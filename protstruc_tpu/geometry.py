@@ -1,0 +1,263 @@
+"""Core 3D geometry kernels, pure JAX.
+
+Every function here is written vmap-first: it operates on arrays with
+arbitrary leading batch dimensions and a trailing coordinate axis of size 3,
+contains no Python-level data-dependent control flow, and is safe to wrap in
+``jax.jit`` / ``jax.vmap`` / ``shard_map``.
+
+Numerical conventions (signs, stacking order, ideal-geometry literals) follow
+the reference implementation exactly so outputs agree to <= 1e-5:
+
+* ``dihedral``       — /root/reference/protstruc/geometry.py:74-124
+* ``angle``          — geometry.py:39-71
+* ``place_fourth_atom`` — geometry.py:127-168
+* ``gram_schmidt``   — geometry.py:413-439 (basis vectors stacked as columns)
+* ``kabsch``         — geometry.py:442-480 (reflection fix via det sign)
+* ``ideal_backbone_coordinates`` — geometry.py:191-226 (CB literal
+  coefficients -0.58273431 / 0.56802827 / -0.54067466)
+
+Unlike the reference (torch + numpy mixed), these accept anything
+``jnp.asarray`` accepts and always return ``jnp.ndarray``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from protstruc_tpu.constants import ideal
+
+__all__ = [
+    "dot",
+    "norm",
+    "unit",
+    "angle",
+    "dihedral",
+    "place_fourth_atom",
+    "ideal_local_frame",
+    "ideal_backbone_coordinates",
+    "fix_chirality",
+    "gram_schmidt",
+    "kabsch",
+    "masked_kabsch",
+]
+
+
+def dot(x, y) -> jnp.ndarray:
+    """Inner product over the last axis, keepdims. Shape ``(..., 3) -> (..., 1)``."""
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    return jnp.sum(x * y, axis=-1, keepdims=True)
+
+
+def norm(x) -> jnp.ndarray:
+    """Euclidean norm over the last axis, keepdims. Shape ``(..., 3) -> (..., 1)``."""
+    x = jnp.asarray(x)
+    return jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def unit(x) -> jnp.ndarray:
+    """Unit vector along the last axis."""
+    x = jnp.asarray(x)
+    return x / norm(x)
+
+
+def angle(a, b, c, to_degree: bool = False) -> jnp.ndarray:
+    """Planar angle at ``b`` between points ``a``-``b``-``c``.
+
+    Returns values in ``[0, pi]`` radians (``[0, 180]`` if ``to_degree``),
+    with the trailing singleton axis squeezed: ``(..., 3) -> (...,)``.
+    """
+    a, b, c = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+    ba = a - b
+    bc = c - b
+    cos = dot(ba, bc) / (norm(ba) * norm(bc))
+    theta = jnp.arccos(cos)
+    if to_degree:
+        theta = jnp.degrees(theta)
+    return jnp.squeeze(theta, axis=-1)
+
+
+def dihedral(a, b, c, d, to_degree: bool = False) -> jnp.ndarray:
+    """Signed dihedral angle of ``a``-``b``-``c``-``d`` in ``(-pi, pi]``.
+
+    Sign convention matches the reference (geometry.py:110-124):
+    ``dihedral((1,0,0), (0,0,0), (0,1,0), (0,1,1)) == -pi/2``.
+    Shape ``(..., 3) -> (...,)`` with broadcasting over leading dims.
+    """
+    a, b, c, d = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), jnp.asarray(d)
+    b0 = a - b
+    b1 = c - b
+    b2 = d - c
+
+    n0 = jnp.cross(b0, b1)
+    n1 = jnp.cross(b2, b1)
+    m = jnp.cross(n0, n1)
+
+    x = dot(n0, n1)                # ~ cos(theta)
+    y = dot(m, b1) / norm(b1)      # ~ sin(theta)
+
+    theta = jnp.arctan2(y, x)
+    if to_degree:
+        theta = jnp.degrees(theta)
+    return jnp.squeeze(theta, axis=-1)
+
+
+def place_fourth_atom(a, b, c, length, planar, dihedral_angle) -> jnp.ndarray:
+    """NeRF-style placement of an atom X from reference atoms A, B, C.
+
+    Given bond length ``|CX|``, planar angle ``X-C-B`` and the dihedral angle
+    between the planes XCB and ACB, return X's coordinates.  Matches the
+    reference formula (geometry.py:155-168) including basis orientation.
+
+    Args map over leading dims; ``length``/``planar``/``dihedral_angle`` carry a
+    trailing singleton axis ``(..., 1)`` (or broadcastable scalars).
+    """
+    a, b, c = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+    length = jnp.asarray(length)
+    planar = jnp.asarray(planar)
+    dihedral_angle = jnp.asarray(dihedral_angle)
+
+    bc = unit(b - c)
+    n = unit(jnp.cross(b - a, bc))
+
+    d1, d2, d3 = bc, jnp.cross(n, bc), n
+    m1 = length * jnp.cos(planar)
+    m2 = length * jnp.sin(planar) * jnp.cos(dihedral_angle)
+    m3 = -length * jnp.sin(planar) * jnp.sin(dihedral_angle)
+    return c + m1 * d1 + m2 * d2 + m3 * d3
+
+
+def ideal_local_frame() -> jnp.ndarray:
+    """Ideal N-centered local coordinates of (N, CA, C, CB), shape ``(4, 3)``.
+
+    Parity: geometry.py:171-188.
+    """
+    n = jnp.array([0.0, 0.0, 0.0])
+    ca = jnp.array([0.0, 0.0, ideal.NA])
+    cb = jnp.array(
+        [
+            0.0,
+            ideal.AB * math.sin(ideal.NAB),
+            ideal.NA - ideal.AB * math.cos(ideal.NAB),
+        ]
+    )
+    c = place_fourth_atom(cb, ca, n, ideal.NC, ideal.ANC, ideal.BANC)
+    return jnp.stack([n, ca, c, cb])
+
+
+def ideal_backbone_coordinates(size, include_cb: bool = False) -> jnp.ndarray:
+    """Batch of ideal backbone coordinates with CA at the origin.
+
+    The CA->C vector lies along +x and N in the xy-plane, chosen such that
+    ``gram_schmidt(N, CA, C)`` is the identity frame (geometry.py:191-226 and
+    test_geometry.py:246-262).  Returns shape ``(*size, 3, 3)`` or
+    ``(*size, 4, 3)`` with ``include_cb``.
+    """
+    ca = jnp.zeros(3)
+    c = jnp.array([ideal.AC, 0.0, 0.0])
+    n = jnp.array(
+        [ideal.NA * math.cos(ideal.NAC), ideal.NA * math.sin(ideal.NAC), 0.0]
+    )
+
+    if include_cb:
+        _b, _c = ca - n, c - ca
+        _a = jnp.cross(_b, _c)
+        # AlphaFold's literal CB-from-backbone combination (geometry.py:221).
+        cb = -0.58273431 * _a + 0.56802827 * _b - 0.54067466 * _c + ca
+        xyz = jnp.stack([n, ca, c, cb])
+    else:
+        xyz = jnp.stack([n, ca, c])
+
+    return jnp.broadcast_to(xyz, tuple(size) + xyz.shape)
+
+
+def fix_chirality(coords) -> jnp.ndarray:
+    """Mirror the z axis to fix backbone chirality after MDS embedding.
+
+    The reference mirrors unconditionally (geometry.py:389-410); kept for
+    parity.  ``coords``: ``(3, L, 3)`` N/CA/C coordinates.
+    """
+    coords = jnp.asarray(coords)
+    return coords * jnp.array([1.0, 1.0, -1.0])
+
+
+def gram_schmidt(a, b, c) -> jnp.ndarray:
+    """Orthonormal frame from three points, basis vectors stacked as columns.
+
+    ``e1 = unit(c - b)``, ``e2`` = unit component of ``a - b`` orthogonal to
+    ``e1``, ``e3 = e1 x e2``.  Returns ``(..., 3, 3)`` with ``[:, i]`` the
+    i-th basis vector (column convention, geometry.py:439).
+    """
+    a, b, c = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+    v1 = c - b
+    e1 = v1 / norm(v1)
+
+    v2 = a - b
+    u2 = v2 - dot(e1, v2) * e1
+    e2 = u2 / norm(u2)
+
+    e3 = jnp.cross(e1, e2)
+    return jnp.stack([e1, e2, e3], axis=-1)
+
+
+def kabsch(a, b) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Optimal rigid transform (R, t) minimizing RMSD of ``R @ a + t`` vs ``b``.
+
+    Unweighted, unbatched core (``(n, 3)`` inputs) for reference parity
+    (geometry.py:442-480); use ``masked_kabsch`` / ``jax.vmap`` for batches.
+
+    Returns ``R``: ``(3, 3)``, ``t``: ``(3,)``.
+    """
+    a, b = jnp.asarray(a), jnp.asarray(b)
+    w = jnp.ones(a.shape[:-1], dtype=a.dtype)
+    return masked_kabsch(a, b, w)
+
+
+def masked_kabsch(a, b, weights) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Weighted Kabsch alignment with static shapes (TPU-friendly).
+
+    Instead of boolean-gathering valid atoms (ragged, as the reference does in
+    ``StructureBatch.align``, protstruc.py:904-914), invalid atoms get weight
+    zero so the shapes stay static under jit.  NaN coordinates at zero-weight
+    positions are neutralized before the reduction.
+
+    Args:
+        a, b: ``(..., n, 3)`` point sets.
+        weights: ``(..., n)`` non-negative weights (bool masks welcome).
+
+    Returns:
+        ``R``: ``(..., 3, 3)``, ``t``: ``(..., 3)`` such that ``R @ a + t ~ b``.
+    """
+    a, b = jnp.asarray(a), jnp.asarray(b)
+    w = jnp.asarray(weights, dtype=a.dtype)[..., None]  # (..., n, 1)
+
+    a = jnp.where(w > 0, a, 0.0)
+    b = jnp.where(w > 0, b, 0.0)
+
+    wsum = jnp.sum(w, axis=-2, keepdims=True)
+    centroid_a = jnp.sum(a * w, axis=-2, keepdims=True) / wsum
+    centroid_b = jnp.sum(b * w, axis=-2, keepdims=True) / wsum
+
+    a_c = (a - centroid_a) * w
+    b_c = b - centroid_b
+
+    # covariance: h[i, j] = sum_k w_k * a_c[k, i] * b_c[k, j]
+    h = jnp.einsum("...ki,...kj->...ij", a_c, b_c)
+
+    u, _, vt = jnp.linalg.svd(h, full_matrices=False)
+    v = jnp.swapaxes(vt, -2, -1)
+    ut = jnp.swapaxes(u, -2, -1)
+
+    d = jnp.sign(jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", v, ut)))
+    diag = jnp.ones(h.shape[:-2] + (3,), dtype=a.dtype)
+    diag = diag.at[..., 2].set(d)
+
+    r = jnp.einsum("...ij,...j,...kj->...ik", v, diag, u)
+
+    t = jnp.squeeze(centroid_b, -2) - jnp.einsum(
+        "...ij,...j->...i", r, jnp.squeeze(centroid_a, -2)
+    )
+    return r, t

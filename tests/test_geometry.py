@@ -1,0 +1,177 @@
+"""L1 geometry kernel tests.
+
+Ports the reference's synthetic-value tests (tests/test_geometry.py) to the
+JAX implementation and adds jit/vmap coverage plus masked-Kabsch invariants.
+Cross-implementation parity vs the reference torch code is in
+test_parity_reference.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import protstruc_tpu.geometry as geom
+
+
+def test_dot():
+    assert geom.dot(jnp.array([1.0, 2, 3]), jnp.array([4.0, 5, 6])) == 32
+
+
+def test_norm():
+    a = jnp.array([[1.0, 2, 3], [4, 5, 6]])
+    out = geom.norm(a)
+    assert out.shape == (2, 1)
+    np.testing.assert_allclose(out, [[14**0.5], [77**0.5]], rtol=1e-6)
+
+
+def test_unit():
+    v = geom.unit(jnp.array([3.0, 0.0, 4.0]))
+    np.testing.assert_allclose(v, [0.6, 0.0, 0.8], rtol=1e-6)
+
+
+def test_angle_degrees():
+    a = jnp.array([[1.0, 0, 0], [1, 0, 0]])
+    b = jnp.zeros((2, 3))
+    c = jnp.array([[0.0, 1, 0], [0.5, np.sqrt(3) / 2, 0]])
+    out = geom.angle(a, b, c, to_degree=True)
+    assert out.shape == (2,)
+    np.testing.assert_allclose(out, [90.0, 60.0], atol=1e-4)
+
+
+def test_dihedral_sign_convention():
+    # reference test_geometry.py:92-118: this configuration is exactly -90 deg
+    a = jnp.array([[1.0, 0, 0]])
+    b = jnp.array([[0.0, 0, 0]])
+    c = jnp.array([[0.0, 1, 0]])
+    d = jnp.array([[0.0, 1, 1]])
+    out = geom.dihedral(a, b, c, d, to_degree=True)
+    assert out.shape == (1,)
+    np.testing.assert_allclose(out, [-90.0], atol=1e-4)
+
+
+def test_dihedral_higher_dims():
+    a = jnp.array([[[1.0, 0, 0]]])
+    b = jnp.array([[[0.0, 0, 0]]])
+    c = jnp.array([[[0.0, 1, 0]]])
+    d = jnp.array([[[0.0, 1, 1]]])
+    out = geom.dihedral(a, b, c, d, to_degree=True)
+    assert out.shape == (1, 1)
+    np.testing.assert_allclose(out, [[-90.0]], atol=1e-4)
+
+
+def test_dihedral_range_random():
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.normal(key, (4, 64, 3))
+    out = geom.dihedral(*pts)
+    assert out.shape == (64,)
+    assert jnp.all(out >= -np.pi) and jnp.all(out <= np.pi)
+
+
+def test_dihedral_under_jit_and_vmap():
+    key = jax.random.PRNGKey(1)
+    pts = jax.random.normal(key, (4, 8, 16, 3))
+    direct = geom.dihedral(*pts)
+    jitted = jax.jit(geom.dihedral)(*pts)
+    vmapped = jax.vmap(lambda p: geom.dihedral(*p), in_axes=1)(pts)
+    np.testing.assert_allclose(direct, jitted, atol=1e-6)
+    np.testing.assert_allclose(direct, vmapped, atol=1e-6)
+
+
+def test_gram_schmidt_shapes_and_orthonormality():
+    key = jax.random.PRNGKey(2)
+    a, b, c = jax.random.normal(key, (3, 16, 30, 3))
+    frame = geom.gram_schmidt(a, b, c)
+    assert frame.shape == (16, 30, 3, 3)
+    # random triples can be near-collinear -> f32 Gram-Schmidt loses a few
+    # digits there; exactness on well-conditioned input is covered below.
+    ident = jnp.einsum("...ij,...ik->...jk", frame, frame)
+    np.testing.assert_allclose(ident, jnp.broadcast_to(jnp.eye(3), ident.shape), atol=2e-2)
+    det = jnp.linalg.det(frame)
+    np.testing.assert_allclose(det, jnp.ones_like(det), atol=1e-4)
+
+
+def test_ideal_backbone_gives_identity_frame():
+    # reference test_geometry.py:246-262
+    xyz = geom.ideal_backbone_coordinates((16, 30))
+    assert xyz.shape == (16, 30, 3, 3)
+    xyz_cb = geom.ideal_backbone_coordinates((16, 30), include_cb=True)
+    assert xyz_cb.shape == (16, 30, 4, 3)
+
+    frame = geom.gram_schmidt(xyz[:, :, 0], xyz[:, :, 1], xyz[:, :, 2])
+    np.testing.assert_allclose(
+        frame, jnp.broadcast_to(jnp.eye(3), frame.shape), atol=1e-6
+    )
+
+
+def test_ideal_local_frame():
+    x = geom.ideal_local_frame()
+    assert x.shape == (4, 3)
+    np.testing.assert_allclose(x[0], [0, 0, 0], atol=1e-7)  # N at origin
+    np.testing.assert_allclose(jnp.linalg.norm(x[1] - x[0]), 1.458, atol=1e-5)
+
+
+def test_place_fourth_atom_recovers_geometry():
+    key = jax.random.PRNGKey(3)
+    a, b, c = jax.random.normal(key, (3, 32, 3))
+    length = jnp.full((32, 1), 1.5)
+    planar = jnp.full((32, 1), 1.9)
+    dih = jnp.full((32, 1), -2.0)
+    x = geom.place_fourth_atom(a, b, c, length, planar, dih)
+    assert x.shape == (32, 3)
+    np.testing.assert_allclose(jnp.linalg.norm(x - c, axis=-1), 1.5, atol=1e-4)
+    np.testing.assert_allclose(geom.angle(x, c, b), 1.9, atol=1e-4)
+
+
+def test_kabsch_exact_recovery():
+    """kabsch must exactly recover a known rigid transform."""
+    key = jax.random.PRNGKey(4)
+    a = jax.random.normal(key, (100, 3))
+    # random rotation via QR
+    q, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(5), (3, 3)))
+    q = q * jnp.sign(jnp.linalg.det(q))  # make proper rotation
+    t_true = jnp.array([1.0, -2.0, 3.0])
+    b = a @ q.T + t_true
+
+    r, t = geom.kabsch(a, b)
+    assert r.shape == (3, 3) and t.shape == (3,)
+    np.testing.assert_allclose(r, q, atol=1e-5)
+    np.testing.assert_allclose(t, t_true, atol=1e-5)
+    aligned = a @ r.T + t
+    np.testing.assert_allclose(aligned, b, atol=1e-5)
+
+
+def test_masked_kabsch_ignores_masked_points():
+    key = jax.random.PRNGKey(6)
+    a = jax.random.normal(key, (50, 3))
+    q, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(7), (3, 3)))
+    q = q * jnp.sign(jnp.linalg.det(q))
+    b = a @ q.T + jnp.array([0.5, 0.5, 0.5])
+
+    # corrupt (even NaN) the masked-out points
+    a_bad = a.at[40:].set(jnp.nan)
+    b_bad = b.at[40:].set(1e9)
+    w = jnp.arange(50) < 40
+
+    r, t = geom.masked_kabsch(a_bad, b_bad, w)
+    np.testing.assert_allclose(r, q, atol=1e-5)
+    aligned = a[:40] @ r.T + t
+    np.testing.assert_allclose(aligned, b[:40], atol=1e-4)
+
+
+def test_masked_kabsch_batched_vmap():
+    key = jax.random.PRNGKey(8)
+    a = jax.random.normal(key, (4, 30, 3))
+    b = a + 1.0  # pure translation
+    w = jnp.ones((4, 30))
+    r, t = geom.masked_kabsch(a, b, w)
+    assert r.shape == (4, 3, 3) and t.shape == (4, 3)
+    np.testing.assert_allclose(r, jnp.broadcast_to(jnp.eye(3), (4, 3, 3)), atol=1e-5)
+    np.testing.assert_allclose(t, jnp.ones((4, 3)), atol=1e-5)
+
+
+def test_fix_chirality_mirrors_z():
+    coords = jnp.ones((3, 10, 3))
+    out = geom.fix_chirality(coords)
+    np.testing.assert_allclose(out[..., 2], -coords[..., 2])
+    np.testing.assert_allclose(out[..., :2], coords[..., :2])
