@@ -96,8 +96,11 @@ def dihedral(a, b, c, d, to_degree: bool = False) -> jnp.ndarray:
     n1 = jnp.cross(b2, b1)
     m = jnp.cross(n0, n1)
 
-    x = dot(n0, n1)                # ~ cos(theta)
-    y = dot(m, b1) / norm(b1)      # ~ sin(theta)
+    # "+ 0.0" canonicalizes IEEE -0.0 to +0.0 so degenerate (zero-vector)
+    # configurations give atan2(+0, +0) = 0 like the reference, instead of
+    # a sign-of-zero-dependent +/-pi.
+    x = dot(n0, n1) + 0.0          # ~ cos(theta)
+    y = dot(m, b1) / norm(b1) + 0.0  # ~ sin(theta)
 
     theta = jnp.arctan2(y, x)
     if to_degree:

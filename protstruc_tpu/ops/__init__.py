@@ -1,0 +1,8 @@
+"""Device-side featurization ops (fused jnp reference paths + Pallas kernels)."""
+
+from protstruc_tpu.ops.pairwise import (
+    pairwise_atom_distance,
+    pairwise_dihedral_maps,
+    pairwise_planar_angle_maps,
+    full_pairwise_distance_matrix,
+)
