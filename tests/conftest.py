@@ -29,6 +29,9 @@ import pytest  # noqa: E402
 
 DATA_DIR = pathlib.Path(__file__).parent / "data"
 
+# from_pdb_id resolves entries from this cache (tests never hit the network)
+os.environ["PROTSTRUC_TPU_PDB_CACHE"] = str(DATA_DIR)
+
 
 @pytest.fixture(scope="session")
 def data_dir() -> pathlib.Path:
