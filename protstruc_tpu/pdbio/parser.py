@@ -191,12 +191,36 @@ def _filter_first_altloc(rec):
     return {k: v[keep] for k, v in rec.items()}
 
 
-def parse_pdb(source: Union[str, os.PathLike, _io.IOBase]) -> ParsedStructure:
-    """Parse one PDB file/handle into a :class:`ParsedStructure`."""
+def parse_pdb(
+    source: Union[str, os.PathLike, _io.IOBase],
+    chains: Sequence[str] = None,
+    residue_range_by_chain: Dict[str, tuple] = None,
+) -> ParsedStructure:
+    """Parse one PDB file/handle into a :class:`ParsedStructure`.
+
+    Args:
+        chains: optional whitelist of chain ids to retain (applied before the
+            residue walk, like ChothiaAntibodyPDB._retain_only_relevant_chains,
+            pdb.py:233-240).
+        residue_range_by_chain: optional ``{chain_id: (lo, hi)}`` inclusive
+            author-numbering filter; chains listed in ``chains`` but absent
+            here are kept whole (Fv-region filtering, pdb.py:242-259).
+    """
     lines = _read_model1_lines(source)
     rec = _parse_atom_records(lines)
     rec = _filter_first_altloc(rec)
     rec = _tidy(rec)
+
+    if chains is not None:
+        keep = np.isin(rec["chain_id"], list(chains))
+        rec = {k: v[keep] for k, v in rec.items()}
+    if residue_range_by_chain:
+        keep = np.ones(len(rec["chain_id"]), dtype=bool)
+        for cid, (lo, hi) in residue_range_by_chain.items():
+            on_chain = rec["chain_id"] == cid
+            keep &= ~on_chain | ((rec["res_num"] >= lo) & (rec["res_num"] <= hi))
+        rec = {k: v[keep] for k, v in rec.items()}
+
     return _build_structure(rec)
 
 
