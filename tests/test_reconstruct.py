@@ -1,0 +1,201 @@
+"""Reconstruction-path tests: NeRF folding, trRosetta decode, MDS, diffusion.
+
+The reference's versions of the reconstruction pipeline are broken/skipped
+(test_geometry.py:193-232), so these tests validate correctness by
+round-tripping through the library's own featurizers.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from protstruc_tpu import StructureBatch
+from protstruc_tpu.ops.diffusion import (
+    cosine_variance_schedule,
+    diffusion_trajectory,
+    forward_marginal,
+)
+from protstruc_tpu.ops.nerf import backbone_from_dihedrals
+from protstruc_tpu.ops.reconstruct import (
+    classical_mds,
+    initialize_backbone_with_mds,
+    reconstruct_backbone_distmat_from_interresidue_geometry,
+)
+
+from tests.conftest import pdb_path
+
+
+# ---------------------------------------------------------------------------
+# NeRF / from_dihedrals
+# ---------------------------------------------------------------------------
+
+
+def test_from_dihedrals_roundtrip():
+    """Torsions -> backbone -> torsions must be the identity (up to f32)."""
+    rng = np.random.RandomState(0)
+    B, L = 2, 24
+    tor = np.zeros((B, L, 3), np.float32)
+    tor[:, :, 0] = rng.uniform(-2.8, -0.7, (B, L))   # phi
+    tor[:, :, 1] = rng.uniform(-1.0, 2.8, (B, L))    # psi
+    tor[:, :, 2] = np.pi - 0.05                      # omega ~ trans
+
+    sb = StructureBatch.from_dihedrals(tor)
+    assert sb.get_xyz().shape == (B, L, 15, 3)
+
+    back, mask = sb.backbone_dihedrals()
+    back, mask = np.asarray(back), np.asarray(mask)
+    # phi defined from residue 1; psi/omega up to L-2
+    np.testing.assert_allclose(back[:, 1:, 0], tor[:, 1:, 0], atol=1e-3)
+    np.testing.assert_allclose(back[:, :-1, 1], tor[:, :-1, 1], atol=1e-3)
+    np.testing.assert_allclose(back[:, :-1, 2], tor[:, :-1, 2], atol=1e-3)
+
+
+def test_from_dihedrals_geometry_sane():
+    tor = np.full((1, 10, 3), -1.0, np.float32)
+    sb = StructureBatch.from_dihedrals(tor)
+    xyz = np.asarray(sb.get_xyz())[0]
+    # bond lengths: N-CA ~1.458, CA-C ~1.523, C-N' ~1.329
+    n, ca, c = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    np.testing.assert_allclose(np.linalg.norm(ca - n, axis=-1), 1.458, atol=1e-3)
+    np.testing.assert_allclose(np.linalg.norm(c - ca, axis=-1), 1.523, atol=1e-3)
+    np.testing.assert_allclose(
+        np.linalg.norm(n[1:] - c[:-1], axis=-1), 1.329, atol=1e-3
+    )
+
+
+# ---------------------------------------------------------------------------
+# trRosetta decode + MDS
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def small_structure():
+    sb = StructureBatch.from_pdb(pdb_path("1ad0_DC.pdb"))
+    # take first 40 residues (single chain, fully observed CB region)
+    return sb.residue_masked_select(
+        np.arange(sb.n_residues)[None] < 40
+    )
+
+
+def test_reconstruct_distmat_shapes_and_idealism(small_structure):
+    g = small_structure.inter_residue_geometry()
+    L = small_structure.n_residues
+    mask = np.asarray(g["d_cb_mask"][0])
+
+    dist = reconstruct_backbone_distmat_from_interresidue_geometry(
+        g["d_cb"][0], g["omega"][0], g["theta"][0], g["phi"][0],
+        mask=jnp.asarray(mask),
+    )
+    assert dist.shape == (3, 3, L, L)
+    d = np.asarray(dist)
+    # diagonal pinned to ideal bonds
+    np.testing.assert_allclose(np.diagonal(d[0, 1]), 1.458, atol=1e-6)
+    np.testing.assert_allclose(np.diagonal(d[1, 2]), 1.523, atol=1e-6)
+    np.testing.assert_allclose(np.diagonal(d[2, 0], offset=1), 1.329, atol=1e-6)
+    # symmetric overall: d[ai, aj, i, j] == d[aj, ai, j, i]
+    np.testing.assert_allclose(d, np.transpose(d, (1, 0, 3, 2)), atol=1e-4)
+    assert (d < 1e6).all()  # no MASK sentinels survive relaxation
+
+
+def test_reconstruct_distmat_matches_true_distances(small_structure):
+    """Where geometry is fully observed, the decoded CA-CA distances must
+    match the true ones closely."""
+    g = small_structure.inter_residue_geometry()
+    mask = np.asarray(g["d_cb_mask"][0])
+    dist = reconstruct_backbone_distmat_from_interresidue_geometry(
+        g["d_cb"][0], g["omega"][0], g["theta"][0], g["phi"][0],
+        mask=jnp.asarray(mask),
+    )
+    true_ca = np.asarray(g["d_ca"][0])
+    got_ca = np.asarray(dist[1, 1])
+    err = np.abs(got_ca - true_ca)[mask]
+    assert np.median(err) < 0.3
+    assert err.mean() < 1.0
+
+
+def test_classical_mds_exact_on_euclidean():
+    rng = np.random.RandomState(1)
+    pts = rng.randn(30, 3).astype(np.float32)
+    dist = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+    emb = np.asarray(classical_mds(jnp.asarray(dist)))
+    d2 = np.linalg.norm(emb[:, None] - emb[None], axis=-1)
+    np.testing.assert_allclose(d2, dist, atol=1e-3)
+
+
+def test_full_reconstruction_pipeline(small_structure):
+    """6D features -> distmat -> MDS -> coordinates close to the original
+    (up to rigid motion): check CA-CA distance-matrix agreement."""
+    g = small_structure.inter_residue_geometry()
+    L = small_structure.n_residues
+    mask = np.asarray(g["d_cb_mask"][0])
+
+    dist = reconstruct_backbone_distmat_from_interresidue_geometry(
+        g["d_cb"][0], g["omega"][0], g["theta"][0], g["phi"][0],
+        mask=jnp.asarray(mask),
+    )
+    coords = initialize_backbone_with_mds(dist, max_iter=100)
+    assert coords.shape == (5, L, 3)
+
+    rec_ca = np.asarray(coords[1])
+    true_ca = np.asarray(small_structure.get_xyz()[0, :, 1])
+    d_rec = np.linalg.norm(rec_ca[:, None] - rec_ca[None], axis=-1)
+    d_true = np.linalg.norm(true_ca[:, None] - true_ca[None], axis=-1)
+    # distance-matrix RMS error below 1.5 A over observed pairs
+    rms = np.sqrt(((d_rec - d_true)[mask] ** 2).mean())
+    assert rms < 1.5, rms
+
+
+# ---------------------------------------------------------------------------
+# diffusion
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_schedule_properties():
+    betas = np.asarray(cosine_variance_schedule(300))
+    assert betas.shape == (300,)
+    assert (betas >= 0).all() and (betas <= 0.999).all()
+    assert betas[0] < 1e-3  # gentle start
+    assert betas[-1] > 0.5  # aggressive end
+
+
+def test_diffusion_trajectory_scan():
+    rng = np.random.RandomState(2)
+    xyz = jnp.asarray(rng.randn(4, 20, 15, 3).astype(np.float32))
+    betas = cosine_variance_schedule(100)
+    out = diffusion_trajectory(xyz, jax.random.PRNGKey(0), betas)
+    assert out.shape == xyz.shape
+    # after the full schedule the signal is destroyed -> ~N(0, 1)
+    assert abs(float(out.std()) - 1.0) < 0.1
+    assert abs(float(out.mean())) < 0.05
+
+    final, traj = diffusion_trajectory(
+        xyz, jax.random.PRNGKey(0), betas, keep_trajectory=True
+    )
+    assert traj.shape == (100,) + xyz.shape
+    np.testing.assert_allclose(np.asarray(traj[-1]), np.asarray(final), atol=0)
+
+
+def test_forward_marginal_matches_scan_statistics():
+    rng = np.random.RandomState(3)
+    xyz = jnp.asarray(rng.randn(8, 10, 15, 3).astype(np.float32))
+    betas = cosine_variance_schedule(50)
+    t = jnp.full((8,), 49, dtype=jnp.int32)
+    x_t, eps = forward_marginal(xyz, jax.random.PRNGKey(1), betas, t)
+    assert x_t.shape == xyz.shape and eps.shape == xyz.shape
+    alpha_bar = np.cumprod(1 - np.asarray(betas))[-1]
+    expect = np.sqrt(alpha_bar) * np.asarray(xyz) + np.sqrt(1 - alpha_bar) * np.asarray(eps)
+    np.testing.assert_allclose(np.asarray(x_t), expect, atol=1e-5)
+
+
+def test_batch_diffuse_matches_step():
+    sb = StructureBatch.from_pdb(pdb_path("1ad0_DC.pdb"))
+    key = jax.random.PRNGKey(5)
+    beta = jnp.array([0.02])
+    noisy = sb.diffuse_xyz(key, beta)
+    from protstruc_tpu.ops.diffusion import diffuse_step
+
+    expect = diffuse_step(sb.get_xyz(), key, beta)
+    np.testing.assert_allclose(
+        np.asarray(noisy.get_xyz()), np.asarray(expect), atol=1e-6
+    )
