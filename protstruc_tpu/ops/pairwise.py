@@ -85,12 +85,21 @@ def pairwise_dihedral_maps(
     a, b, c, d = cols_i + cols_j
     out = geom.dihedral(a, b, c, d)
 
-    # Self-pairs on the diagonal (e.g. omega with atoms_i == atoms_j at
-    # i == j) are mathematically undefined (0/0).  The reference's eager
-    # torch evaluation cancels the cross products exactly and lands on
-    # atan2(0, 0) = 0; XLA's FMA contraction leaves ~1e-12 residuals that
-    # land on +/-pi instead.  Pin exactly-degenerate pairs to 0 for parity.
-    degenerate = jnp.all(a == c, axis=-1) & jnp.all(b == d, axis=-1)
+    # Degenerate point configurations (coincident atoms) make the dihedral
+    # 0/0-undefined.  The reference's eager torch evaluation cancels the
+    # cross products exactly and lands on atan2(+0, +0) = 0; XLA's FMA
+    # contraction and sign-of-zero simplifications (x + 0.0 -> x) land on
+    # backend-dependent +/-pi instead.  Pin every exactly-degenerate case
+    # that torch maps to 0: a==c & b==d (self-pair, e.g. omega diagonal),
+    # c==d (zero last bond, e.g. theta diagonal), a==b (zero first bond).
+    # b==c (zero axis) yields NaN in both implementations via the exact
+    # 0/0 division and needs no handling.  NaN coords compare unequal, so
+    # missing-atom entries keep their NaN.
+    degenerate = (
+        (jnp.all(a == c, axis=-1) & jnp.all(b == d, axis=-1))
+        | jnp.all(c == d, axis=-1)
+        | jnp.all(a == b, axis=-1)
+    )
     return jnp.where(degenerate, 0.0, out)
 
 

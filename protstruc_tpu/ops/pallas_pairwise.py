@@ -1,0 +1,259 @@
+"""Fused Pallas TPU kernel for trRosetta pair-feature maps.
+
+One pass over (i-block, j-block) tiles computes all six trRosetta maps —
+d_ca, d_cb, d_no, omega, theta, phi — reading the backbone atom coordinates
+once per tile.  This is the TPU-native replacement for the reference's
+``(B, L, L, A, A)`` tensor materialization + three separate L^2 atom gathers
+(protstruc.py:455-484, 589-660):
+
+* Coordinates are laid out as component *planes*: the i-side as
+  ``(B, L, 12)`` (sublane = residue) and the j-side as ``(B, 12, L)``
+  (lane = residue), so every arithmetic op in the kernel is a fully-tiled
+  ``(TILE_I, TILE_J)`` VPU elementwise op — no in-kernel transposes, no
+  gathers, no A x A axis.
+* HBM traffic is ~6 f32 maps written once; inputs are O(L) per tile pair.
+* Validity masks are cheap outer products computed outside the kernel by XLA.
+
+Numerical conventions match ops/pairwise.py exactly (same formulas, same
+degenerate-diagonal pinning), which the test suite cross-checks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from protstruc_tpu.vocab import ATOM
+
+__all__ = ["trrosetta_features", "pairwise_maps_pallas"]
+
+# atom plane order inside the packed 12-row coordinate block
+_ATOMS = ("N", "CA", "CB", "O")
+_AIDX = {a: i for i, a in enumerate(_ATOMS)}
+
+
+def _cross(a, b):
+    ax, ay, az = a
+    bx, by, bz = b
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _sub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _norm(a):
+    return jnp.sqrt(_dot(a, a))
+
+
+_TAN_PI_8 = 0.4142135623730950
+_TAN_3PI_8 = 2.414213562373095
+_PI = 3.141592653589793
+_PI_2 = 1.5707963267948966
+_PI_4 = 0.7853981633974483
+
+
+def _atan_pos(t):
+    """Cephes single-precision atan for t >= 0 (~1e-7 relative error).
+
+    Mosaic has no atan2/atan lowering (NotImplementedError on TC kernels),
+    so the kernel carries its own range-reduced polynomial.
+    """
+    big = t > _TAN_3PI_8
+    mid = (t > _TAN_PI_8) & ~big
+    z = jnp.where(big, -1.0 / jnp.where(t == 0.0, 1.0, t),
+                  jnp.where(mid, (t - 1.0) / (t + 1.0), t))
+    zz = z * z
+    poly = (
+        ((8.05374449538e-2 * zz - 1.38776856032e-1) * zz + 1.99777106478e-1)
+        * zz
+        - 3.33329491539e-1
+    ) * zz * z + z
+    return poly + jnp.where(big, _PI_2, jnp.where(mid, _PI_4, 0.0))
+
+
+def _atan2_planes(y, x):
+    """atan2 built on _atan_pos with IEEE-consistent quadrant/zero handling."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    denom = jnp.where(ax == 0.0, 1.0, ax)
+    t = jnp.where(ax == 0.0, jnp.where(ay == 0.0, 0.0, jnp.inf), ay / denom)
+    base = _atan_pos(t)  # in [0, pi/2]
+    ang = jnp.where(x >= 0.0, base, _PI - base)
+    ang = jnp.where(y < 0.0, -ang, ang)
+    # both exactly zero (canonicalized +0) -> 0 like atan2(+0, +0)
+    ang = jnp.where((ax == 0.0) & (ay == 0.0) & (x >= 0.0), 0.0, ang)
+    # propagate NaN
+    nan = jnp.isnan(x) | jnp.isnan(y)
+    return jnp.where(nan, jnp.nan, ang)
+
+
+def _acos_planes(c):
+    # acos(c) = atan2(sqrt(1 - c^2), c); out-of-range |c| > 1 -> NaN like arccos
+    s = jnp.sqrt(1.0 - c * c)  # NaN when |c| > 1
+    return _atan2_planes(s, c)
+
+
+def _dihedral_planes(a, b, c, d):
+    """Signed dihedral on component planes; see geometry.dihedral."""
+    b0 = _sub(a, b)
+    b1 = _sub(c, b)
+    b2 = _sub(d, c)
+    n0 = _cross(b0, b1)
+    n1 = _cross(b2, b1)
+    m = _cross(n0, n1)
+    x = _dot(n0, n1) + 0.0          # +0.0 canonicalizes -0 (parity with jnp path)
+    y = _dot(m, b1) / _norm(b1) + 0.0
+    return _atan2_planes(y, x)
+
+
+def _angle_planes(a, b, c):
+    ba = _sub(a, b)
+    bc = _sub(c, b)
+    cos = _dot(ba, bc) / (_norm(ba) * _norm(bc))
+    return _acos_planes(cos)
+
+
+def _trrosetta_kernel(
+    fi_ref, fj_ref,
+    d_ca_ref, d_cb_ref, d_no_ref, omega_ref, theta_ref, phi_ref,
+    *, tile_i: int, tile_j: int,
+):
+    fi = fi_ref[0]  # (TILE_I, 12): residue-i atom components in sublanes
+    fj = fj_ref[0]  # (12, TILE_J): residue-j atom components in lanes
+
+    def iv(atom, comp):  # i-side component -> (TILE_I, 1)
+        k = _AIDX[atom] * 3 + comp
+        return fi[:, k : k + 1]
+
+    def jv(atom, comp):  # j-side component -> (1, TILE_J)
+        k = _AIDX[atom] * 3 + comp
+        return fj[k : k + 1, :]
+
+    def ivec(atom):
+        return (iv(atom, 0), iv(atom, 1), iv(atom, 2))
+
+    def jvec(atom):
+        return (jv(atom, 0), jv(atom, 1), jv(atom, 2))
+
+    n_i, ca_i, cb_i = ivec("N"), ivec("CA"), ivec("CB")
+    ca_j, cb_j, o_j = jvec("CA"), jvec("CB"), jvec("O")
+
+    # distance maps
+    d_ca_ref[0] = _norm(_sub(ca_i, ca_j))
+    d_cb_ref[0] = _norm(_sub(cb_i, cb_j))
+    d_no_ref[0] = _norm(_sub(n_i, o_j))
+
+    # diagonal detection in global residue indices
+    gi = pl.program_id(1) * tile_i + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_i, tile_j), 0
+    )
+    gj = pl.program_id(2) * tile_j + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_i, tile_j), 1
+    )
+    diag = gi == gj
+
+    # omega = dihedral(CA_i, CB_i, CA_j, CB_j); defined self-pairs pin to 0
+    # (parity with ops/pairwise.py) but NaN (missing-atom) entries stay NaN
+    omega = _dihedral_planes(ca_i, cb_i, ca_j, cb_j)
+    omega_ref[0] = jnp.where(diag & ~jnp.isnan(omega), 0.0, omega)
+
+    # theta = dihedral(N_i, CA_i, CB_i, CB_j)
+    theta = _dihedral_planes(n_i, ca_i, cb_i, cb_j)
+    theta_ref[0] = jnp.where(diag & ~jnp.isnan(theta), 0.0, theta)
+
+    # phi = angle(CA_i, CB_i, CB_j); NaN on the diagonal in the reference
+    # (zero-length bc) — keep NaN by not masking
+    phi_ref[0] = _angle_planes(ca_i, cb_i, cb_j)
+
+
+def _pack_planes(xyz: jnp.ndarray):
+    """(B, L, A, 3) -> i-side (B, L, 12) and j-side (B, 12, L) planes."""
+    cols = [xyz[:, :, int(ATOM[a]), :] for a in _ATOMS]  # 4 x (B, L, 3)
+    packed = jnp.concatenate(cols, axis=-1)  # (B, L, 12)
+    return packed, jnp.swapaxes(packed, 1, 2)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def pairwise_maps_pallas(
+    xyz: jnp.ndarray,
+    tile_i: int = 256,
+    tile_j: int = 256,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Run the fused pair-feature kernel. xyz: ``(B, L, A, 3)`` float32.
+
+    Returns the six trRosetta value maps, each ``(B, L, L)`` float32.
+    """
+    B, L = xyz.shape[:2]
+    Lp = _ceil_to(max(L, 8), min(tile_i, tile_j))
+    tile_i = min(tile_i, Lp)
+    tile_j = min(tile_j, Lp)
+    Lp = _ceil_to(Lp, max(tile_i, tile_j))
+
+    xyz_p = jnp.pad(
+        xyz.astype(jnp.float32), ((0, 0), (0, Lp - L), (0, 0), (0, 0))
+    )
+    fi, fj = _pack_planes(xyz_p)
+
+    grid = (B, Lp // tile_i, Lp // tile_j)
+    out_shape = [jax.ShapeDtypeStruct((B, Lp, Lp), jnp.float32)] * 6
+    out_spec = pl.BlockSpec(
+        (1, tile_i, tile_j),
+        lambda b, i, j: (b, i, j),
+        memory_space=pltpu.VMEM,
+    )
+
+    kernel = functools.partial(_trrosetta_kernel, tile_i=tile_i, tile_j=tile_j)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_i, 12), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 12, tile_j), lambda b, i, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec] * 6,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(fi, fj)
+
+    names = ["d_ca", "d_cb", "d_no", "omega", "theta", "phi"]
+    return {k: v[:, :L, :L] for k, v in zip(names, outs)}
+
+
+def trrosetta_features(
+    xyz: jnp.ndarray,
+    atom_mask: jnp.ndarray,
+    tile_i: int = 256,
+    tile_j: int = 256,
+    interpret: bool = None,
+) -> Dict[str, jnp.ndarray]:
+    """Full inter_residue_geometry dict via the Pallas kernel (+ XLA masks)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    ret = dict(pairwise_maps_pallas(xyz, tile_i, tile_j, interpret))
+    for key, (ai, aj) in {
+        "d_ca_mask": ("CA", "CA"),
+        "d_cb_mask": ("CB", "CB"),
+        "d_no_mask": ("N", "O"),
+    }.items():
+        mi = atom_mask[:, :, int(ATOM[ai])]
+        mj = atom_mask[:, :, int(ATOM[aj])]
+        ret[key] = mi[:, :, None] & mj[:, None, :]
+    return ret

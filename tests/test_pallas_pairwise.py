@@ -1,0 +1,57 @@
+"""Pallas fused pair-feature kernel vs the jnp reference path.
+
+Runs in interpreter mode on CPU (the real compiled path is exercised by
+bench.py on the TPU chip)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from protstruc_tpu import StructureBatch
+from protstruc_tpu.ops.pallas_pairwise import trrosetta_features
+
+from tests.conftest import pdb_path
+
+
+def _compare(sb, tile=64):
+    ref = sb.inter_residue_geometry()
+    out = trrosetta_features(
+        sb.get_xyz(), sb.get_atom_mask(), tile_i=tile, tile_j=tile, interpret=True
+    )
+    for k in ["d_ca", "d_cb", "d_no", "omega", "theta", "phi"]:
+        r, o = np.asarray(ref[k]), np.asarray(out[k])
+        nan_r, nan_o = np.isnan(r), np.isnan(o)
+        np.testing.assert_array_equal(nan_r, nan_o, err_msg=k)
+        np.testing.assert_allclose(o[~nan_o], r[~nan_r], atol=2e-4, err_msg=k)
+    for k in ["d_ca_mask", "d_cb_mask", "d_no_mask"]:
+        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(out[k]), err_msg=k)
+
+
+def test_pallas_matches_jnp_random():
+    rng = np.random.RandomState(0)
+    xyz = rng.randn(2, 50, 15, 3).astype(np.float32) * 5
+    sb = StructureBatch.from_xyz(xyz)
+    _compare(sb)
+
+
+def test_pallas_matches_jnp_real_structure():
+    sb = StructureBatch.from_pdb(pdb_path("1ad0_DC.pdb"))
+    _compare(sb, tile=128)
+
+
+def test_pallas_tile_not_dividing_length():
+    rng = np.random.RandomState(1)
+    xyz = rng.randn(1, 37, 15, 3).astype(np.float32) * 5
+    sb = StructureBatch.from_xyz(xyz)
+    _compare(sb, tile=32)
+
+
+def test_inter_residue_geometry_use_pallas_flag():
+    rng = np.random.RandomState(2)
+    xyz = rng.randn(1, 20, 15, 3).astype(np.float32)
+    sb = StructureBatch.from_xyz(xyz)
+    a = sb.inter_residue_geometry()
+    b = sb.inter_residue_geometry(use_pallas=True)
+    np.testing.assert_allclose(
+        np.asarray(a["d_cb"]), np.asarray(b["d_cb"]), atol=2e-4
+    )
