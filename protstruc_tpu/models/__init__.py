@@ -1,0 +1,21 @@
+"""Model zoo built on protstruc-tpu featurization.
+
+The reference library feeds external deep-learning pipelines but ships no
+models; this package provides TPU-native reference models that consume the
+library's featurization directly:
+
+* ``trfold.TrFold`` — flagship trRosetta-style pair-representation network:
+  6D geometry maps -> distogram + backbone-torsion prediction, with
+  dp/sp/tp-shardable parameters and activations.
+* ``trfold.DiffusionDenoiser`` — epsilon-prediction head over noisy
+  coordinates for the Euclidean diffusion pipeline (ops/diffusion.py).
+"""
+
+from protstruc_tpu.models.trfold import (
+    TrFold,
+    TrFoldConfig,
+    DiffusionDenoiser,
+    make_train_state,
+    train_step,
+    param_shardings,
+)

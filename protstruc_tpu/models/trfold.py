@@ -1,0 +1,336 @@
+"""TrFold: a trRosetta-style pair-representation model, TPU-first.
+
+Flagship model of the rebuild.  Consumes the library's own featurization
+(6D inter-residue geometry + backbone torsions) and predicts a distogram
+over CB-CB distances plus backbone torsion angles — the classic
+trRosetta/AlphaFold-1 task the reference library was built to feed
+(README.md:7-12 of the reference describes exactly this use case).
+
+Design for the (dp, sp, tp) mesh (parallel/mesh.py):
+
+* node activations ``(B, L, D)`` shard ``P(dp, sp, None)``;
+* pair activations ``(B, L, L, P)`` shard ``P(dp, sp, None, None)`` —
+  the first residue axis is sequence-parallel, so row-wise ops are local
+  and column-wise context arrives via XLA-inserted all-gathers;
+* attention heads and MLP hidden dims shard over tp (``param_shardings``);
+* everything is standard flax/optax — ``train_step`` jits under a Mesh
+  with ``NamedSharding`` in/out specs and XLA emits the collectives.
+
+Matmul-heavy by construction (MXU-friendly): attention with pair bias,
+outer-product pair updates, gated row/column pair mixing (a lightweight
+stand-in for triangle multiplication at O(L^2 D + L^2 P) flops).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "TrFoldConfig",
+    "TrFold",
+    "DiffusionDenoiser",
+    "make_train_state",
+    "train_step",
+    "param_shardings",
+    "featurize_for_model",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrFoldConfig:
+    vocab: int = 21
+    node_dim: int = 128
+    pair_dim: int = 64
+    n_heads: int = 4
+    n_blocks: int = 3
+    n_dist_bins: int = 36
+    max_dist: float = 20.0
+    dtype: Any = jnp.float32  # set jnp.bfloat16 for MXU-native training
+
+
+def featurize_for_model(batch, use_pallas: bool = False):
+    """StructureBatch -> model inputs (seq_idx, torsions, pair features, masks)."""
+    g = batch.inter_residue_geometry(use_pallas=use_pallas)
+    torsions, torsion_mask = batch.backbone_dihedrals()
+    seq_idx = batch.get_seq_idx() if batch.seq is not None else jnp.zeros(
+        batch.chain_idx.shape, jnp.int32
+    )
+    return {
+        "seq_idx": seq_idx,
+        "torsions": torsions,
+        "torsion_mask": torsion_mask,
+        "d_cb": g["d_cb"],
+        "omega": g["omega"],
+        "theta": g["theta"],
+        "phi": g["phi"],
+        "pair_mask": g["d_cb_mask"],
+        "residue_mask": batch.residue_mask,
+    }
+
+
+class PairBiasAttention(nn.Module):
+    """Multi-head node self-attention with an additive pair-derived bias."""
+
+    cfg: TrFoldConfig
+
+    @nn.compact
+    def __call__(self, node, pair, mask):
+        cfg = self.cfg
+        h, dh = cfg.n_heads, cfg.node_dim // cfg.n_heads
+
+        qkv = nn.DenseGeneral((3, h, dh), name="qkv", dtype=cfg.dtype)(node)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+
+        bias = nn.DenseGeneral((h,), name="pair_bias", dtype=cfg.dtype)(pair)
+        bias = jnp.moveaxis(bias, -1, 1)  # (B, h, L, L)
+
+        logits = jnp.einsum("blhd,bmhd->bhlm", q, k) / jnp.sqrt(dh).astype(cfg.dtype)
+        logits = logits + bias
+        neg = jnp.asarray(-1e9, cfg.dtype)
+        logits = jnp.where(mask[:, None, None, :], logits, neg)
+        attn = jax.nn.softmax(logits, axis=-1)
+
+        out = jnp.einsum("bhlm,bmhd->blhd", attn, v)
+        return nn.DenseGeneral(cfg.node_dim, axis=(-2, -1), name="out", dtype=cfg.dtype)(out)
+
+
+class PairUpdate(nn.Module):
+    """Outer-product node->pair update + gated row/column mixing.
+
+    The row/column mixing contracts over the residue axis (MXU matmuls),
+    giving triangle-multiplication-like information flow at O(L^2 P) cost.
+    """
+
+    cfg: TrFoldConfig
+
+    @nn.compact
+    def __call__(self, node, pair, mask):
+        cfg = self.cfg
+        a = nn.Dense(cfg.pair_dim, name="outer_a", dtype=cfg.dtype)(node)
+        b = nn.Dense(cfg.pair_dim, name="outer_b", dtype=cfg.dtype)(node)
+        pair = pair + a[:, :, None, :] * b[:, None, :, :]
+
+        g_row = nn.sigmoid(nn.Dense(cfg.pair_dim, name="gate_row", dtype=cfg.dtype)(pair))
+        g_col = nn.sigmoid(nn.Dense(cfg.pair_dim, name="gate_col", dtype=cfg.dtype)(pair))
+        m = mask.astype(cfg.dtype)
+        pm = pair * (m[:, :, None, None] * m[:, None, :, None])
+        denom = jnp.maximum(jnp.sum(m, axis=1), 1.0)[:, None, None, None]
+        row_ctx = jnp.einsum("bikc,bkjc->bijc", g_row * pm, pm) / denom
+        col_ctx = jnp.einsum("bkic,bkjc->bijc", g_col * pm, pm) / denom
+        mix = nn.Dense(cfg.pair_dim, name="mix", dtype=cfg.dtype)(
+            jnp.concatenate([row_ctx, col_ctx], axis=-1)
+        )
+        return nn.LayerNorm(dtype=cfg.dtype)(pair + mix)
+
+
+class TrFoldBlock(nn.Module):
+    cfg: TrFoldConfig
+
+    @nn.compact
+    def __call__(self, node, pair, mask):
+        cfg = self.cfg
+        node = node + PairBiasAttention(cfg, name="attn")(
+            nn.LayerNorm(dtype=cfg.dtype)(node), pair, mask
+        )
+        mlp_in = nn.LayerNorm(dtype=cfg.dtype)(node)
+        mlp = nn.Dense(cfg.node_dim * 4, name="mlp_in", dtype=cfg.dtype)(mlp_in)
+        mlp = nn.Dense(cfg.node_dim, name="mlp_out", dtype=cfg.dtype)(nn.gelu(mlp))
+        node = node + mlp
+        pair = PairUpdate(cfg, name="pair_update")(node, pair, mask)
+        return node, pair
+
+
+class TrFold(nn.Module):
+    """6D geometry + sequence -> distogram logits + torsion predictions."""
+
+    cfg: TrFoldConfig = TrFoldConfig()
+
+    @nn.compact
+    def __call__(self, feats: Dict[str, jnp.ndarray]):
+        cfg = self.cfg
+        mask = feats["residue_mask"]
+
+        # node embedding: sequence + torsion sin/cos
+        node = nn.Embed(cfg.vocab, cfg.node_dim, name="seq_embed", dtype=cfg.dtype)(
+            feats["seq_idx"]
+        )
+        tor = jnp.concatenate(
+            [jnp.sin(feats["torsions"]), jnp.cos(feats["torsions"])], axis=-1
+        )
+        tor = jnp.where(
+            jnp.repeat(feats["torsion_mask"], 2, axis=-1), tor, 0.0
+        ).astype(cfg.dtype)
+        node = node + nn.Dense(cfg.node_dim, name="torsion_embed", dtype=cfg.dtype)(tor)
+
+        # pair embedding: binned distance + angular sin/cos maps
+        d = jnp.nan_to_num(feats["d_cb"], nan=cfg.max_dist)
+        bins = jnp.clip(
+            (d / cfg.max_dist * cfg.n_dist_bins).astype(jnp.int32),
+            0,
+            cfg.n_dist_bins - 1,
+        )
+        pair = nn.Embed(cfg.n_dist_bins, cfg.pair_dim, name="dist_embed",
+                        dtype=cfg.dtype)(bins)
+        ang = jnp.stack(
+            [
+                jnp.sin(feats["omega"]), jnp.cos(feats["omega"]),
+                jnp.sin(feats["theta"]), jnp.cos(feats["theta"]),
+                jnp.sin(feats["phi"]), jnp.cos(feats["phi"]),
+            ],
+            axis=-1,
+        )
+        ang = jnp.nan_to_num(ang, nan=0.0).astype(cfg.dtype)
+        ang = jnp.where(feats["pair_mask"][..., None], ang, 0.0)
+        pair = pair + nn.Dense(cfg.pair_dim, name="ang_embed", dtype=cfg.dtype)(ang)
+
+        for i in range(cfg.n_blocks):
+            node, pair = TrFoldBlock(cfg, name=f"block_{i}")(node, pair, mask)
+
+        pair_sym = pair + jnp.swapaxes(pair, 1, 2)
+        distogram = nn.Dense(cfg.n_dist_bins, name="distogram_head",
+                             dtype=jnp.float32)(pair_sym)
+        torsions = nn.Dense(6, name="torsion_head", dtype=jnp.float32)(node)
+        return {
+            "distogram_logits": distogram,
+            "torsion_sincos": torsions.reshape(torsions.shape[:-1] + (3, 2)),
+        }
+
+
+class DiffusionDenoiser(nn.Module):
+    """Epsilon-prediction denoiser over noisy CA coordinates.
+
+    Pairs with ops/diffusion.py: given x_t and the timestep embedding,
+    predict the added noise (MSE target from ``forward_marginal``).
+    """
+
+    cfg: TrFoldConfig = TrFoldConfig()
+
+    @nn.compact
+    def __call__(self, noisy_ca, t_embed, seq_idx, mask):
+        cfg = self.cfg
+        node = nn.Embed(cfg.vocab, cfg.node_dim, name="seq_embed", dtype=cfg.dtype)(seq_idx)
+        node = node + nn.Dense(cfg.node_dim, name="coord_in", dtype=cfg.dtype)(noisy_ca)
+        node = node + nn.Dense(cfg.node_dim, name="t_in", dtype=cfg.dtype)(t_embed)[:, None, :]
+
+        # relative-position pair bias from current noisy geometry
+        d = jnp.linalg.norm(
+            noisy_ca[:, :, None, :] - noisy_ca[:, None, :, :], axis=-1, keepdims=True
+        )
+        pair = nn.Dense(cfg.pair_dim, name="dist_in", dtype=cfg.dtype)(d.astype(cfg.dtype))
+
+        for i in range(2):
+            node = node + PairBiasAttention(cfg, name=f"attn_{i}")(
+                nn.LayerNorm(dtype=cfg.dtype)(node), pair, mask
+            )
+            h = nn.Dense(cfg.node_dim * 2, name=f"mlp_in_{i}", dtype=cfg.dtype)(
+                nn.LayerNorm(dtype=cfg.dtype)(node)
+            )
+            node = node + nn.Dense(cfg.node_dim, name=f"mlp_out_{i}", dtype=cfg.dtype)(
+                nn.gelu(h)
+            )
+        return nn.Dense(3, name="eps_head", dtype=jnp.float32)(node)
+
+
+# ---------------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------------
+
+
+def loss_fn(params, model: TrFold, feats: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Masked distogram CE + torsion sin/cos MSE (self-supervised targets
+    come from the featurization itself)."""
+    out = model.apply({"params": params}, feats)
+    cfg = model.cfg
+
+    d = jnp.nan_to_num(feats["d_cb"], nan=cfg.max_dist)
+    target_bins = jnp.clip(
+        (d / cfg.max_dist * cfg.n_dist_bins).astype(jnp.int32), 0, cfg.n_dist_bins - 1
+    )
+    logp = jax.nn.log_softmax(out["distogram_logits"], axis=-1)
+    ce = -jnp.take_along_axis(logp, target_bins[..., None], axis=-1)[..., 0]
+    pm = feats["pair_mask"]
+    ce = jnp.sum(jnp.where(pm, ce, 0.0)) / jnp.maximum(jnp.sum(pm), 1.0)
+
+    target_sc = jnp.stack(
+        [jnp.sin(feats["torsions"]), jnp.cos(feats["torsions"])], axis=-1
+    )
+    tm = feats["torsion_mask"][..., None]
+    mse = jnp.sum(jnp.where(tm, (out["torsion_sincos"] - target_sc) ** 2, 0.0))
+    mse = mse / jnp.maximum(jnp.sum(tm), 1.0)
+
+    return ce + mse
+
+
+def make_train_state(
+    model: TrFold, feats, key, learning_rate: float = 1e-3
+) -> Tuple[Any, Any, optax.GradientTransformation]:
+    params = model.init(key, feats)["params"]
+    tx = optax.adamw(learning_rate)
+    opt_state = tx.init(params)
+    return params, opt_state, tx
+
+
+def train_step(params, opt_state, feats, model: TrFold, tx):
+    """One optimizer step; pure function of its inputs (pjit-able)."""
+    loss, grads = jax.value_and_grad(loss_fn)(params, model, feats)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+# ---------------------------------------------------------------------------
+# sharding rules
+# ---------------------------------------------------------------------------
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedShardings for TrFold params: head/hidden dims over tp.
+
+    Rules (by parameter path):
+      * attention ``qkv`` kernels  (D, 3, h, dh)  -> shard h over tp
+      * attention ``out`` kernels  (h, dh, D)     -> shard h over tp
+      * MLP ``mlp_in`` kernel      (D, 4D)        -> shard out dim over tp
+      * MLP ``mlp_out`` kernel     (4D, D)        -> shard in dim over tp
+      * everything else replicated.
+    """
+
+    def spec_for(path, x):
+        names = [getattr(p, "key", str(p)) for p in path]
+        joined = "/".join(names)
+        if x.ndim == 4 and "qkv" in joined:
+            return P(None, None, "tp", None)
+        if x.ndim == 3 and joined.endswith("out/kernel"):
+            return P("tp", None, None)
+        if "mlp_in" in joined and names[-1] == "kernel":
+            return P(None, "tp")
+        if "mlp_out" in joined and names[-1] == "kernel":
+            return P("tp", None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: NamedSharding(mesh, spec_for(path, x)), params
+    )
+
+
+def feats_shardings(mesh: Mesh):
+    """NamedShardings for the featurization dict: B over dp, first L over sp."""
+    pair = NamedSharding(mesh, P("dp", "sp", None))
+    node = NamedSharding(mesh, P("dp", "sp"))
+    return {
+        "seq_idx": node,
+        "torsions": NamedSharding(mesh, P("dp", "sp", None)),
+        "torsion_mask": NamedSharding(mesh, P("dp", "sp", None)),
+        "d_cb": pair,
+        "omega": pair,
+        "theta": pair,
+        "phi": pair,
+        "pair_mask": pair,
+        "residue_mask": node,
+    }

@@ -1,0 +1,137 @@
+"""Mesh construction and StructureBatch sharding.
+
+Axes:
+    dp — data parallel over the structure batch dimension B.
+    sp — sequence parallel over the residue axis L (pair tensors shard their
+         *first* L axis; the second stays local, so pair features compute
+         with a single small all-gather of the j-side atom columns).
+    tp — tensor parallel over model hidden/head dimensions (used by
+         models/, not by raw featurization).
+
+With ``B`` sharded over dp and ``L`` over sp, the O(B*L^2) pair maps are
+evenly split dp*sp ways; XLA generates the all-gather for the j-side
+coordinate columns (O(L * 12) floats — negligible vs the L^2/sp output).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "batch_pspecs", "shard_batch", "featurize_sharded"]
+
+
+def _factor3(n: int):
+    """Factor n devices into (dp, sp, tp) with dp >= sp >= tp.
+
+    For powers of two the exponent is split ~evenly with the surplus going
+    to dp (8 -> 2x2x2, 4 -> 2x2x1, 16 -> 4x2x2); other counts fall back to
+    pure data parallelism.
+    """
+    if n & (n - 1):  # not a power of two
+        return (n, 1, 1)
+    k = n.bit_length() - 1
+    k_tp = k // 3
+    k_sp = (k - k_tp) // 2
+    k_dp = k - k_tp - k_sp
+    return (1 << k_dp, 1 << k_sp, 1 << k_tp)
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_shapes: Optional[Sequence[int]] = None,
+    axis_names: Sequence[str] = ("dp", "sp", "tp"),
+) -> Mesh:
+    """Build a named device mesh.
+
+    ``axis_shapes`` fixes the factorization explicitly, e.g. ``(2, 2, 2)``;
+    otherwise devices are factored as dp-heavy powers of two.
+    """
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+
+    if axis_shapes is None:
+        dp, sp, tp = _factor3(n)
+    else:
+        dp, sp, tp = axis_shapes
+        if dp * sp * tp != n:
+            raise ValueError(f"axis shapes {axis_shapes} != {n} devices")
+
+    arr = np.asarray(devices).reshape(dp, sp, tp)
+    return Mesh(arr, axis_names)
+
+
+def batch_pspecs():
+    """PartitionSpecs for StructureBatch array fields: B over dp, L over sp."""
+    return {
+        "xyz": P("dp", "sp", None, None),
+        "atom_mask": P("dp", "sp", None),
+        "chain_idx": P("dp", "sp"),
+        "residue_idx": P("dp", "sp"),
+        "mu": P("dp", None),
+        "std": P("dp", None),
+    }
+
+
+def shard_batch(batch, mesh: Mesh):
+    """device_put a StructureBatch onto the mesh with dp/sp shardings.
+
+    B must divide the dp axis size and L the sp axis size (bucket-pad first
+    — see utils/buckets.py).
+    """
+    specs = batch_pspecs()
+
+    def put(name, x):
+        if x is None:
+            return None
+        return jax.device_put(x, NamedSharding(mesh, specs[name]))
+
+    return batch.replace(
+        xyz=put("xyz", batch.xyz),
+        atom_mask=put("atom_mask", batch.atom_mask),
+        chain_idx=put("chain_idx", batch.chain_idx),
+        residue_idx=put("residue_idx", batch.residue_idx),
+        mu=put("mu", batch.mu),
+        std=put("std", batch.std),
+    )
+
+
+def featurize_sharded(batch, mesh: Mesh, use_pallas: bool = False):
+    """Full featurization pjit-compiled over the mesh.
+
+    Outputs: the 6D geometry dict with pair maps sharded ``P(dp, sp, None)``,
+    backbone dihedrals + mask ``P(dp, sp, None)`` and frames
+    ``P(dp, sp, None, None)``.  XLA inserts the j-side all-gather; everything
+    else is local to each shard.
+    """
+    from protstruc_tpu.batch import _backbone_dihedrals, _inter_residue_geometry
+    from protstruc_tpu import geometry as geom
+
+    pair = NamedSharding(mesh, P("dp", "sp", None))
+    node3 = NamedSharding(mesh, P("dp", "sp", None))
+    node4 = NamedSharding(mesh, P("dp", "sp", None, None))
+
+    def fn(xyz, atom_mask, chain_idx):
+        g = _inter_residue_geometry(xyz, atom_mask)
+        d, m = _backbone_dihedrals(xyz, chain_idx, atom_mask)
+        frames = geom.gram_schmidt(xyz[:, :, 0], xyz[:, :, 1], xyz[:, :, 2])
+        return g, d, m, frames
+
+    out_shardings = (
+        {
+            k: pair
+            for k in [
+                "d_ca", "d_ca_mask", "d_cb", "d_cb_mask",
+                "d_no", "d_no_mask", "omega", "theta", "phi",
+            ]
+        },
+        node3,
+        node3,
+        node4,
+    )
+    jfn = jax.jit(fn, out_shardings=out_shardings)
+    return jfn(batch.xyz, batch.atom_mask, batch.chain_idx)
