@@ -47,7 +47,7 @@ NUMBERING_SCHEMES: Dict[str, Dict[str, Tuple[int, int]]] = {
     },
 }
 
-_MASK_KEYS = ("heavy_chain", "light_chain", "antigen") + tuple(CDR_NAMES)
+_MASK_KEYS = ("heavy_chain", "light_chain", "antigen", "fv") + tuple(CDR_NAMES)
 
 
 def _always_list(x):
@@ -105,6 +105,16 @@ class AntibodyStructureBatch(StructureBatch):
 
     def is_fv_only(self) -> bool:
         return self.keep_fv_only
+
+    def get_fv_mask(self) -> jnp.ndarray:
+        """Residues belonging to the Fv region of either chain.
+
+        Parity: ChothiaAntibodyPDB.get_fv_mask (pdb.py:285-290) — computed
+        from the stored masks and author numbering ranges at ingest, carried
+        as ``heavy|light`` when ``keep_fv_only`` trimmed the structure, else
+        derivable only at parse time, so it is stored like the CDR masks.
+        """
+        return self.residue_masks["fv"]
 
     def get_cdr_mask(self, subset: Union[str, List[str], None] = None) -> jnp.ndarray:
         """Union of the selected CDR loop masks (default: all six)."""
@@ -196,7 +206,17 @@ class AntibodyStructureBatch(StructureBatch):
             light = cid == lid if lid is not None else np.zeros(len(cid), bool)
             antigen = np.isin(cid, aids) if aids else np.zeros(len(cid), bool)
 
-            m = {"heavy_chain": heavy, "light_chain": light, "antigen": antigen}
+            h_lo, h_hi = scheme["fv_heavy"]
+            l_lo, l_hi = scheme["fv_light"]
+            fv = (heavy & (num >= h_lo) & (num <= h_hi)) | (
+                light & (num >= l_lo) & (num <= l_hi)
+            )
+            m = {
+                "heavy_chain": heavy,
+                "light_chain": light,
+                "antigen": antigen,
+                "fv": fv,
+            }
             for loop in CDR_NAMES:
                 lo, hi = scheme[loop]
                 chain_mask = heavy if loop.startswith("H") else light

@@ -45,6 +45,24 @@ __all__ = ["ParsedStructure", "parse_pdb", "parse_pdb_files"]
 _STANDARD_ATOMS = frozenset(standard_heavy_atom_names)
 _CANONICAL = frozenset(standard_aa_names)
 
+# vectorized (res_name, atom_name) -> slot lookup via sorted-key searchsorted
+_SLOT_KEYS, _SLOT_VALS = (lambda items: (
+    np.array([k for k, _ in items]), np.array([v for _, v in items], np.int64)
+))(sorted(
+    (f"{res}|{atom}", slot)
+    for res, table in HEAVY_ATOM_SLOT.items()
+    for atom, slot in table.items()
+))
+
+
+def _lookup_slots(res_name: np.ndarray, atom_name: np.ndarray) -> np.ndarray:
+    """Slot index per atom record, -1 where the atom is foreign to its residue."""
+    query = np.char.add(np.char.add(res_name.astype("U3"), "|"), atom_name)
+    idx = np.searchsorted(_SLOT_KEYS, query)
+    idx = np.clip(idx, 0, len(_SLOT_KEYS) - 1)
+    ok = _SLOT_KEYS[idx] == query
+    return np.where(ok, _SLOT_VALS[idx], -1)
+
 
 @dataclasses.dataclass
 class ParsedStructure:
@@ -77,16 +95,18 @@ class ParsedStructure:
         return out
 
 
-def _read_model1_lines(source: Union[str, os.PathLike, _io.IOBase]) -> List[bytes]:
-    """Return the raw lines of the first model's coordinate section."""
+def _read_bytes(source: Union[str, os.PathLike, _io.IOBase]) -> bytes:
     if hasattr(source, "read"):
         data = source.read()
         if isinstance(data, str):
             data = data.encode()
-    else:
-        with open(source, "rb") as f:
-            data = f.read()
+        return data
+    with open(source, "rb") as f:
+        return f.read()
 
+
+def _read_model1_lines(data: bytes) -> List[bytes]:
+    """Return the raw lines of the first model's coordinate section."""
     lines = data.splitlines()
     out = []
     in_model = 0  # 0 = before any MODEL record; N = inside model N
@@ -195,6 +215,7 @@ def parse_pdb(
     source: Union[str, os.PathLike, _io.IOBase],
     chains: Sequence[str] = None,
     residue_range_by_chain: Dict[str, tuple] = None,
+    use_native: bool = True,
 ) -> ParsedStructure:
     """Parse one PDB file/handle into a :class:`ParsedStructure`.
 
@@ -205,9 +226,23 @@ def parse_pdb(
         residue_range_by_chain: optional ``{chain_id: (lo, hi)}`` inclusive
             author-numbering filter; chains listed in ``chains`` but absent
             here are kept whole (Fv-region filtering, pdb.py:242-259).
+        use_native: scan atom records with the C++ fast path when available
+            (pdbio/native.py); falls back to the NumPy scanner.
     """
-    lines = _read_model1_lines(source)
-    rec = _parse_atom_records(lines)
+    data = _read_bytes(source)
+
+    rec = None
+    if use_native:
+        from protstruc_tpu.pdbio.native import parse_atom_records_native
+
+        try:
+            rec = parse_atom_records_native(data)
+        except ValueError:
+            raise  # "no ATOM/HETATM records" — same error as the NumPy path
+        except Exception:
+            rec = None  # native unavailable/broken: fall back silently
+    if rec is None:
+        rec = _parse_atom_records(_read_model1_lines(data))
     rec = _filter_first_altloc(rec)
     rec = _tidy(rec)
 
@@ -292,9 +327,7 @@ def _build_structure(rec) -> ParsedStructure:
     group_of_atom = np.cumsum(change) - 1
     res_internal = group_internal_idx[group_of_atom]
 
-    slots = np.empty(n_atoms, dtype=np.int64)
-    for i in range(n_atoms):
-        slots[i] = HEAVY_ATOM_SLOT[res_name[i]].get(atom_name[i], -1)
+    slots = _lookup_slots(res_name, atom_name)
     ok = slots >= 0
 
     atom_xyz = np.full((L, MAX_N_ATOMS_PER_RESIDUE, 3), np.nan, dtype=np.float32)

@@ -1,0 +1,107 @@
+"""Buckets, serialization, compat adapter, fv mask."""
+
+import io
+
+import numpy as np
+import pytest
+
+from protstruc_tpu import AntibodyStructureBatch, StructureBatch
+from protstruc_tpu.utils.buckets import DEFAULT_BUCKETS, bucket_length, pad_batch_to_bucket
+from protstruc_tpu.utils.serialization import load_structure_batch, save_structure_batch
+
+from tests.conftest import pdb_path
+
+
+def test_bucket_length():
+    assert bucket_length(1) == 64
+    assert bucket_length(64) == 64
+    assert bucket_length(65) == 128
+    assert bucket_length(130) == 256
+    assert bucket_length(513) == 768
+    assert bucket_length(3000) == 3072  # beyond table -> multiple of 128
+
+
+def test_pad_batch_to_bucket():
+    sb = StructureBatch.from_pdb(pdb_path("1REX.pdb"))  # L=130
+    padded = pad_batch_to_bucket(sb)
+    assert padded.n_residues == 256
+    assert int(padded.residue_mask.sum()) == int(sb.residue_mask.sum())
+    np.testing.assert_array_equal(np.asarray(padded.chain_idx[0, 130:]), -1)
+    # featurization results agree on the valid region
+    d1, m1 = sb.backbone_dihedrals()
+    d2, m2 = padded.backbone_dihedrals()
+    np.testing.assert_array_equal(np.asarray(m2[:, :130]), np.asarray(m1))
+    np.testing.assert_allclose(
+        np.asarray(d2[:, :130])[np.asarray(m1)], np.asarray(d1)[np.asarray(m1)], atol=1e-6
+    )
+    assert not np.asarray(m2[:, 130:]).any()
+    # idempotent
+    assert pad_batch_to_bucket(padded) is padded
+
+
+def test_serialization_roundtrip_plain():
+    sb = StructureBatch.from_pdb(pdb_path("1ad0_DC.pdb")).standardize()
+    buf = io.BytesIO()
+    save_structure_batch(sb, buf)
+    buf.seek(0)
+    back = load_structure_batch(buf)
+    assert type(back).__name__ == "StructureBatch"
+    assert back.standardized
+    np.testing.assert_allclose(np.asarray(back.mu), np.asarray(sb.mu), atol=0)
+    x1, x2 = np.asarray(sb.get_xyz()), np.asarray(back.get_xyz())
+    m = ~np.isnan(x1)
+    np.testing.assert_allclose(x1[m], x2[m], atol=0)
+    assert back.get_seq() == sb.get_seq()
+    assert back.get_chain_ids() == sb.get_chain_ids()
+
+
+def test_serialization_roundtrip_antibody():
+    ab = AntibodyStructureBatch.from_pdb(pdb_path("6dc4.pdb"), "H", "L")
+    buf = io.BytesIO()
+    save_structure_batch(ab, buf)
+    buf.seek(0)
+    back = load_structure_batch(buf)
+    assert type(back).__name__ == "AntibodyStructureBatch"
+    np.testing.assert_array_equal(
+        np.asarray(back.get_cdr_mask()), np.asarray(ab.get_cdr_mask())
+    )
+    assert back.get_heavy_chain_id() == ["H"]
+    assert back.numbering_scheme == "chothia"
+
+
+def test_fv_mask():
+    ab = AntibodyStructureBatch.from_pdb(pdb_path("6dc4.pdb"), "H", "L")
+    fv = np.asarray(ab.get_fv_mask())
+    h = np.asarray(ab.get_heavy_chain_mask())
+    l = np.asarray(ab.get_light_chain_mask())
+    assert fv.any()
+    assert (fv <= (h | l)).all()  # fv is a subset of the two chains
+    # CDRs live inside the Fv region
+    cdr = np.asarray(ab.get_cdr_mask())
+    assert (cdr <= fv).all()
+    # trimming to Fv keeps exactly the fv residues
+    fv_only = AntibodyStructureBatch.from_pdb(
+        pdb_path("6dc4.pdb"), "H", "L", keep_fv_only=True
+    )
+    assert fv_only.n_residues == fv.sum()
+
+
+def test_compat_numpy_echo():
+    from protstruc_tpu.compat import geometry as cgeom
+    import jax.numpy as jnp
+
+    a = np.array([[1.0, 0, 0]], np.float32)
+    b = np.zeros((1, 3), np.float32)
+    c = np.array([[0.0, 1, 0]], np.float32)
+    d = np.array([[0.0, 1, 1]], np.float32)
+
+    out = cgeom.dihedral(a, b, c, d, to_degree=True)
+    assert isinstance(out, np.ndarray)
+    np.testing.assert_allclose(out, [-90.0], atol=1e-4)
+
+    out_jax = cgeom.dihedral(jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), jnp.asarray(d))
+    assert not isinstance(out_jax, np.ndarray)
+
+    # tuple outputs (kabsch) convert too
+    r, t = cgeom.kabsch(np.random.randn(10, 3), np.random.randn(10, 3))
+    assert isinstance(r, np.ndarray) and isinstance(t, np.ndarray)
