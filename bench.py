@@ -115,10 +115,127 @@ def measure_rtt():
     return rtt
 
 
+def _time_call(fn, *args, iters=3, rtt=0.0):
+    """Time a jitted fn returning (outputs..., scalar checksum)."""
+    out = fn(*args)
+    float(out[-1])
+    for _ in range(1):
+        float(fn(*args)[-1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    float(out[-1])
+    return max(time.perf_counter() - t0 - rtt, 1e-9) / iters
+
+
+def run_configs(rtt):
+    """The five BASELINE.md config workloads (diagnostics, stderr only)."""
+    import numpy as np
+
+    import protstruc_tpu as ps
+    from protstruc_tpu.ops.diffusion import cosine_variance_schedule, diffusion_trajectory
+    from protstruc_tpu.ops.nerf import backbone_from_dihedrals
+    from protstruc_tpu.utils.buckets import pad_batch_to_bucket
+
+    data = "tests/data"
+
+    # 1. single antibody PDB: CA-CA distmat + backbone dihedrals
+    sb = ps.StructureBatch.from_pdb(f"{data}/15c8_HL.pdb")
+
+    @jax.jit
+    def cfg1(xyz, am, ci):
+        from protstruc_tpu.batch import _backbone_dihedrals
+        from protstruc_tpu.ops.pairwise import pairwise_atom_distance
+
+        d, m = pairwise_atom_distance(xyz, am, "CA", "CA")
+        dih, dm = _backbone_dihedrals(xyz, ci, am)
+        return d, m, dih, dm, d[0, 0, 1] + dih[0, 1, 0]
+
+    dt = _time_call(cfg1, sb.xyz, sb.atom_mask, sb.chain_idx, rtt=rtt)
+    log(f"[config1] 15c8 CA distmat+dihedrals: {dt*1e3:.2f} ms")
+
+    # 2. batch of 8 PDBs: full-atom distmat + masks + orientations/translations
+    files = ["15c8_HL.pdb", "1a3r_HL.pdb", "1a6v_HL.pdb", "1a6v_JN.pdb",
+             "1ad0_DC.pdb", "5cjx_HL.pdb", "6dc4.pdb", "1REX.pdb"]
+    sb8 = pad_batch_to_bucket(ps.StructureBatch.from_pdb([f"{data}/{f}" for f in files]))
+
+    @jax.jit
+    def cfg2(xyz, am):
+        from protstruc_tpu import geometry as geom
+        from protstruc_tpu.ops.pairwise import full_pairwise_distance_matrix
+
+        d, m = full_pairwise_distance_matrix(xyz, am)
+        r = geom.gram_schmidt(xyz[:, :, 0], xyz[:, :, 1], xyz[:, :, 2])
+        t = xyz[:, :, 1]
+        return d, m, r, t, jnp.nan_to_num(d[0, 0, 1, 1, 1], nan=0.0) + r[0, 0, 0, 0]
+
+    dt = _time_call(cfg2, sb8.xyz, sb8.atom_mask, rtt=rtt)
+    log(f"[config2] 8-PDB full-atom distmat (B=8, L={sb8.n_residues}): {dt*1e3:.2f} ms")
+
+    # 3. AntibodyStructureBatch B=64: pair dihedrals/planar + chain masking
+    ab = ps.AntibodyStructureBatch.from_pdb(
+        [f"{data}/6dc4.pdb"] * 8, heavy_chain_id=["H"] * 8, light_chain_id=["L"] * 8
+    )
+    ab = pad_batch_to_bucket(ab)
+    rep = 64 // 8
+    xyz64 = jnp.tile(ab.xyz, (rep, 1, 1, 1))
+    am64 = jnp.tile(ab.atom_mask, (rep, 1, 1))
+    hmask = jnp.tile(ab.get_heavy_chain_mask(), (rep, 1))
+
+    @jax.jit
+    def cfg3(xyz, am, h):
+        from protstruc_tpu.ops.pairwise import (
+            pairwise_dihedral_maps, pairwise_planar_angle_maps)
+
+        omega = pairwise_dihedral_maps(xyz, ("CA", "CB"), ("CA", "CB"))
+        theta = pairwise_dihedral_maps(xyz, ("N", "CA", "CB"), ("CB",))
+        phi = pairwise_planar_angle_maps(xyz, ("CA", "CB"), ("CB",))
+        pairm = h[:, :, None] & h[:, None, :]
+        return omega, theta, phi, pairm, jnp.nan_to_num(omega[0, 1, 2], nan=0.0)
+
+    dt = _time_call(cfg3, xyz64, am64, hmask, rtt=rtt)
+    log(f"[config3] antibody B=64 pair dihedrals+masks: {dt*1e3:.2f} ms "
+        f"-> {64/dt:.0f} structures/s")
+
+    # 4. diffusion loop B=256, T=300 on-device
+    key = jax.random.PRNGKey(1)
+    xyz = jax.random.normal(key, (256, 256, 15, 3), jnp.float32)
+    betas = cosine_variance_schedule(300)
+
+    @jax.jit
+    def cfg4(xyz, key):
+        out = diffusion_trajectory(xyz, key, betas)
+        return out, out[0, 0, 0, 0]
+
+    dt = _time_call(cfg4, xyz, key, rtt=rtt)
+    log(f"[config4] diffusion B=256 T=300: {dt*1e3:.2f} ms "
+        f"({dt/300*1e6:.1f} us/step)")
+
+    # 5. B=1024 x L=1024: bucketed d_cb map + frame reconstruction from torsions
+    # (full six-map output at this size exceeds HBM; d_cb alone is 4.3 GB)
+    big_tor = jax.random.uniform(key, (1024, 1024, 3), minval=-3.1, maxval=3.1)
+
+    @jax.jit
+    def cfg5(tor):
+        xyz4 = backbone_from_dihedrals(tor)
+        ca = xyz4[:, :, 1]
+        d_cb = jnp.linalg.norm(ca[:, :, None] - ca[:, None, :], axis=-1)
+        return xyz4, d_cb, d_cb[0, 0, 1]
+
+    dt = _time_call(cfg5, big_tor, rtt=rtt)
+    log(f"[config5] B=1024 L=1024 fold+distmat: {dt*1e3:.2f} ms "
+        f"-> {1024/dt:.0f} structures/s")
+
+
 def main():
+    import sys as _sys
+
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     args = make_inputs(jax.random.PRNGKey(0))
     rtt = measure_rtt()
+
+    if "--configs" in _sys.argv:
+        run_configs(rtt)
 
     results = {}
     for name, fn in [("jnp-fused", featurize_jnp), ("pallas", featurize_pallas)]:

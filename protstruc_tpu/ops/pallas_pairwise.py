@@ -220,6 +220,7 @@ def pairwise_maps_pallas(
     kernel = functools.partial(_trrosetta_kernel, tile_i=tile_i, tile_j=tile_j)
     outs = pl.pallas_call(
         kernel,
+        name="trrosetta_pair_features",  # XProf-visible kernel name
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile_i, 12), lambda b, i, j: (b, i, 0),
