@@ -20,7 +20,7 @@ try:  # pragma: no cover - import-order guard during bootstrap
 except ImportError:  # modules not built yet
     pass
 
-# reference-compat alias: `import protstruc_tpu.general as general`
-from protstruc_tpu import vocab as general  # noqa: F401
+# reference-compat alias module: `import protstruc_tpu.general`
+from protstruc_tpu import general  # noqa: F401
 
 __version__ = "0.1.0"

@@ -46,6 +46,20 @@ __all__ = [
 ]
 
 
+def __getattr__(name):
+    # The reference exposes the reconstruction entry points from its geometry
+    # module (geometry.py:229-386); forward them lazily from ops.reconstruct
+    # (the import is deferred to avoid a circular module load).
+    if name in (
+        "reconstruct_backbone_distmat_from_interresidue_geometry",
+        "initialize_backbone_with_mds",
+    ):
+        from protstruc_tpu.ops import reconstruct
+
+        return getattr(reconstruct, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 def dot(x, y) -> jnp.ndarray:
     """Inner product over the last axis, keepdims. Shape ``(..., 3) -> (..., 1)``."""
     x, y = jnp.asarray(x), jnp.asarray(y)

@@ -55,72 +55,72 @@ def _norm(a):
     return jnp.sqrt(_dot(a, a))
 
 
-_TAN_PI_8 = 0.4142135623730950
-_TAN_3PI_8 = 2.414213562373095
 _PI = 3.141592653589793
 _PI_2 = 1.5707963267948966
-_PI_4 = 0.7853981633974483
-
-
-def _atan_pos(t):
-    """Cephes single-precision atan for t >= 0 (~1e-7 relative error).
-
-    Mosaic has no atan2/atan lowering (NotImplementedError on TC kernels),
-    so the kernel carries its own range-reduced polynomial.
-    """
-    big = t > _TAN_3PI_8
-    mid = (t > _TAN_PI_8) & ~big
-    z = jnp.where(big, -1.0 / jnp.where(t == 0.0, 1.0, t),
-                  jnp.where(mid, (t - 1.0) / (t + 1.0), t))
-    zz = z * z
-    poly = (
-        ((8.05374449538e-2 * zz - 1.38776856032e-1) * zz + 1.99777106478e-1)
-        * zz
-        - 3.33329491539e-1
-    ) * zz * z + z
-    return poly + jnp.where(big, _PI_2, jnp.where(mid, _PI_4, 0.0))
 
 
 def _atan2_planes(y, x):
-    """atan2 built on _atan_pos with IEEE-consistent quadrant/zero handling."""
+    """Branch-light atan2: single divide + degree-11 odd minimax polynomial.
+
+    Mosaic has no atan2/atan lowering (NotImplementedError on TC kernels).
+    ``t = min(|x|,|y|)/max(|x|,|y|)`` is in [0, 1], where the polynomial has
+    ~1e-6 max error — well inside the 1e-5 parity budget.  Zero handling
+    matches the canonicalized-+0 convention: atan2(+0, +0) = 0.
+    """
     ax = jnp.abs(x)
     ay = jnp.abs(y)
-    denom = jnp.where(ax == 0.0, 1.0, ax)
-    t = jnp.where(ax == 0.0, jnp.where(ay == 0.0, 0.0, jnp.inf), ay / denom)
-    base = _atan_pos(t)  # in [0, pi/2]
-    ang = jnp.where(x >= 0.0, base, _PI - base)
-    ang = jnp.where(y < 0.0, -ang, ang)
-    # both exactly zero (canonicalized +0) -> 0 like atan2(+0, +0)
-    ang = jnp.where((ax == 0.0) & (ay == 0.0) & (x >= 0.0), 0.0, ang)
-    # propagate NaN
+    maxv = jnp.maximum(ax, ay)
+    t = jnp.minimum(ax, ay) / jnp.where(maxv == 0.0, 1.0, maxv)
+    zz = t * t
+    p = t * (
+        0.99997726
+        + zz * (-0.33262347
+        + zz * (0.19354346
+        + zz * (-0.11643287
+        + zz * (0.05265332
+        + zz * -0.01172120))))
+    )
+    r = jnp.where(ay > ax, _PI_2 - p, p)
+    r = jnp.where(x < 0.0, _PI - r, r)
+    r = jnp.where(y < 0.0, -r, r)
     nan = jnp.isnan(x) | jnp.isnan(y)
-    return jnp.where(nan, jnp.nan, ang)
+    return jnp.where(nan, jnp.nan, r)
 
 
-def _acos_planes(c):
-    # acos(c) = atan2(sqrt(1 - c^2), c); out-of-range |c| > 1 -> NaN like arccos
-    s = jnp.sqrt(1.0 - c * c)  # NaN when |c| > 1
-    return _atan2_planes(s, c)
+def _rnorm(a):
+    return jax.lax.rsqrt(_dot(a, a))
 
 
-def _dihedral_planes(a, b, c, d):
-    """Signed dihedral on component planes; see geometry.dihedral."""
-    b0 = _sub(a, b)
-    b1 = _sub(c, b)
-    b2 = _sub(d, c)
+def _dihedral_from_bonds(b0, b1, b2):
+    """Signed dihedral from bond vectors (component planes).
+
+    Same value as geometry.dihedral but with the sin term reduced via the
+    scalar-triple-product identity ``((b0xb1) x (b2xb1)) . b1
+    = -(b1.b1) ((b0xb1) . b2)`` (using ``(b0xb1) . b1 = 0``), which removes
+    one full cross product per pair.
+    """
     n0 = _cross(b0, b1)
     n1 = _cross(b2, b1)
-    m = _cross(n0, n1)
     x = _dot(n0, n1) + 0.0          # +0.0 canonicalizes -0 (parity with jnp path)
-    y = _dot(m, b1) / _norm(b1) + 0.0
+    y = -jnp.sqrt(_dot(b1, b1)) * _dot(n0, b2) + 0.0
     return _atan2_planes(y, x)
 
 
+def _dihedral_planes(a, b, c, d):
+    return _dihedral_from_bonds(_sub(a, b), _sub(c, b), _sub(d, c))
+
+
 def _angle_planes(a, b, c):
+    # angle = atan2(|ba x bc|, ba . bc) — same value as the arccos form but
+    # without the cancellation-prone divide; preserves the reference's NaN
+    # on zero-length bc (phi-map diagonal) explicitly.
     ba = _sub(a, b)
     bc = _sub(c, b)
-    cos = _dot(ba, bc) / (_norm(ba) * _norm(bc))
-    return _acos_planes(cos)
+    cr = _cross(ba, bc)
+    s = jnp.sqrt(_dot(cr, cr))
+    ang = _atan2_planes(s, _dot(ba, bc))
+    zero = (_dot(bc, bc) == 0.0) | (_dot(ba, ba) == 0.0)
+    return jnp.where(zero, jnp.nan, ang)
 
 
 def _trrosetta_kernel(
@@ -190,8 +190,8 @@ def _ceil_to(x: int, m: int) -> int:
 @functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
 def pairwise_maps_pallas(
     xyz: jnp.ndarray,
-    tile_i: int = 256,
-    tile_j: int = 256,
+    tile_i: int = 128,
+    tile_j: int = 512,
     interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Run the fused pair-feature kernel. xyz: ``(B, L, A, 3)`` float32.
@@ -240,8 +240,8 @@ def pairwise_maps_pallas(
 def trrosetta_features(
     xyz: jnp.ndarray,
     atom_mask: jnp.ndarray,
-    tile_i: int = 256,
-    tile_j: int = 256,
+    tile_i: int = 128,
+    tile_j: int = 512,
     interpret: bool = None,
 ) -> Dict[str, jnp.ndarray]:
     """Full inter_residue_geometry dict via the Pallas kernel (+ XLA masks)."""
