@@ -1,0 +1,60 @@
+"""Bucketed streaming dataset tests."""
+
+import numpy as np
+import pytest
+
+from protstruc_tpu.pdbio.dataset import StructureDataset
+from protstruc_tpu.utils.buckets import bucket_length
+
+from tests.conftest import DATA_DIR, pdb_path
+
+ALL_FILES = sorted(str(p) for p in DATA_DIR.glob("*.pdb"))
+
+
+def test_dataset_covers_all_files():
+    ds = StructureDataset(ALL_FILES, batch_size=4)
+    total = 0
+    for batch in ds:
+        b, l = batch.get_batch_size(), batch.n_residues
+        assert l == bucket_length(l)  # padded length is a bucket size
+        assert b <= 4
+        total += b
+    assert total == len(ALL_FILES)
+
+
+def test_dataset_bucket_grouping():
+    ds = StructureDataset(ALL_FILES, batch_size=32)
+    lengths = {batch.n_residues for batch in ds}
+    # every emitted padded length is a bucket
+    assert all(l == bucket_length(l) for l in lengths)
+
+
+def test_dataset_shuffle_changes_order():
+    ds = StructureDataset(ALL_FILES, batch_size=1, shuffle=True, seed=1)
+    first = [b.get_chain_ids()[0] for b in ds]
+    second = [b.get_chain_ids()[0] for b in ds]  # next epoch reshuffles
+    assert len(first) == len(second) == len(ALL_FILES)
+    assert first != second  # astronomically unlikely to match for 14 files
+
+
+def test_dataset_drop_remainder():
+    ds = StructureDataset(ALL_FILES, batch_size=5, drop_remainder=True)
+    for batch in ds:
+        assert batch.get_batch_size() == 5
+
+
+def test_dataset_error_propagates():
+    ds = StructureDataset([pdb_path("1REX.pdb"), "/nonexistent.pdb"], batch_size=1)
+    with pytest.raises(FileNotFoundError):
+        list(ds)
+
+
+def test_dataset_batches_featurize():
+    ds = StructureDataset([pdb_path("1REX.pdb"), pdb_path("4EOT.pdb")], batch_size=2)
+    batches = list(ds)
+    assert len(batches) == 1
+    batch = batches[0]
+    assert batch.n_residues == 256  # both bucket to 256
+    d, m = batch.backbone_dihedrals()
+    assert d.shape == (2, 256, 3)
+    assert sorted(np.asarray(batch.get_total_lengths()).tolist()) == [130, 184]
