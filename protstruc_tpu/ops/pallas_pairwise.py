@@ -148,10 +148,12 @@ def _trrosetta_kernel(
     n_i, ca_i, cb_i = ivec("N"), ivec("CA"), ivec("CB")
     ca_j, cb_j, o_j = jvec("CA"), jvec("CB"), jvec("O")
 
+    odt = d_ca_ref.dtype
+
     # distance maps
-    d_ca_ref[0] = _norm(_sub(ca_i, ca_j))
-    d_cb_ref[0] = _norm(_sub(cb_i, cb_j))
-    d_no_ref[0] = _norm(_sub(n_i, o_j))
+    d_ca_ref[0] = _norm(_sub(ca_i, ca_j)).astype(odt)
+    d_cb_ref[0] = _norm(_sub(cb_i, cb_j)).astype(odt)
+    d_no_ref[0] = _norm(_sub(n_i, o_j)).astype(odt)
 
     # diagonal detection in global residue indices
     gi = pl.program_id(1) * tile_i + jax.lax.broadcasted_iota(
@@ -165,15 +167,15 @@ def _trrosetta_kernel(
     # omega = dihedral(CA_i, CB_i, CA_j, CB_j); defined self-pairs pin to 0
     # (parity with ops/pairwise.py) but NaN (missing-atom) entries stay NaN
     omega = _dihedral_planes(ca_i, cb_i, ca_j, cb_j)
-    omega_ref[0] = jnp.where(diag & ~jnp.isnan(omega), 0.0, omega)
+    omega_ref[0] = jnp.where(diag & ~jnp.isnan(omega), 0.0, omega).astype(odt)
 
     # theta = dihedral(N_i, CA_i, CB_i, CB_j)
     theta = _dihedral_planes(n_i, ca_i, cb_i, cb_j)
-    theta_ref[0] = jnp.where(diag & ~jnp.isnan(theta), 0.0, theta)
+    theta_ref[0] = jnp.where(diag & ~jnp.isnan(theta), 0.0, theta).astype(odt)
 
     # phi = angle(CA_i, CB_i, CB_j); NaN on the diagonal in the reference
     # (zero-length bc) — keep NaN by not masking
-    phi_ref[0] = _angle_planes(ca_i, cb_i, cb_j)
+    phi_ref[0] = _angle_planes(ca_i, cb_i, cb_j).astype(odt)
 
 
 def _pack_planes(xyz: jnp.ndarray):
@@ -187,16 +189,117 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
-def pairwise_maps_pallas(
+_MAP_NAMES = ("d_ca", "d_cb", "d_no", "omega", "theta", "phi")
+
+
+def _maps_jnp(xyz: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Gradient-safe jnp formulation of the six maps (backward surrogate).
+
+    Uses the double-where pattern throughout: every op with an unbounded
+    derivative at degenerate inputs (sqrt at 0, atan2/arccos at 0-vectors)
+    computes on substituted safe inputs at degenerate positions, so zero
+    cotangents there stay zero instead of becoming 0 * inf = NaN.  Forward
+    values at *non*-degenerate positions match the kernel/parity path; only
+    this function's gradients are consumed (custom VJP backward).
+    """
+    from protstruc_tpu import geometry as geom
+
+    def col(a):
+        return xyz[:, :, int(ATOM[a]), :]
+
+    def safe_dist(ci, cj):
+        diff = ci[:, :, None, :] - cj[:, None, :, :]
+        q = jnp.sum(diff * diff, axis=-1)
+        pos = q > 0
+        return jnp.where(pos, jnp.sqrt(jnp.where(pos, q, 1.0)), 0.0)
+
+    # canonical well-conditioned quadruple for degenerate substitution
+    _a0 = jnp.array([1.0, 0.0, 0.0])
+    _b0 = jnp.zeros(3)
+    _c0 = jnp.array([0.0, 1.0, 0.0])
+    _d0 = jnp.array([0.0, 1.0, 1.0])
+
+    def safe_dihedral(a, b, c, d):
+        deg = (
+            (jnp.all(a == c, -1) & jnp.all(b == d, -1))
+            | jnp.all(c == d, -1)
+            | jnp.all(a == b, -1)
+            | jnp.all(b == c, -1)
+        )[..., None]
+        a = jnp.where(deg, _a0, a)
+        b = jnp.where(deg, _b0, b)
+        c = jnp.where(deg, _c0, c)
+        d = jnp.where(deg, _d0, d)
+        return jnp.where(deg[..., 0], 0.0, geom.dihedral(a, b, c, d))
+
+    def safe_angle(a, b, c):
+        deg = (jnp.all(a == b, -1) | jnp.all(c == b, -1))[..., None]
+        a = jnp.where(deg, _a0, a)
+        b = jnp.where(deg, _b0, b)
+        c = jnp.where(deg, _c0, c)
+        return jnp.where(deg[..., 0], 0.0, geom.angle(a, b, c))
+
+    def bi(a):  # residue-i broadcast
+        return col(a)[:, :, None, :]
+
+    def bj(a):  # residue-j broadcast
+        return col(a)[:, None, :, :]
+
+    return {
+        "d_ca": safe_dist(col("CA"), col("CA")),
+        "d_cb": safe_dist(col("CB"), col("CB")),
+        "d_no": safe_dist(col("N"), col("O")),
+        "omega": safe_dihedral(bi("CA"), bi("CB"), bj("CA"), bj("CB")),
+        "theta": safe_dihedral(bi("N"), bi("CA"), bi("CB"), bj("CB")),
+        "phi": safe_angle(bi("CA"), bi("CB"), bj("CB")),
+    }
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def pairwise_maps(
     xyz: jnp.ndarray,
     tile_i: int = 128,
     tile_j: int = 512,
     interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
+    """Differentiable fused pair maps: Pallas forward, jnp-path backward.
+
+    The Mosaic kernel has no VJP; the backward pass replays the (equivalent)
+    jnp formulation under ``jax.vjp`` — standard fast-forward/exact-backward
+    pairing.  Gradients at masked/NaN entries are NaN, as with the jnp path;
+    mask the cotangents upstream (e.g. via a masked loss).
+    """
+    return pairwise_maps_pallas(xyz, tile_i, tile_j, interpret)
+
+
+def _pairwise_maps_fwd(xyz, tile_i, tile_j, interpret):
+    return pairwise_maps_pallas(xyz, tile_i, tile_j, interpret), xyz
+
+
+def _pairwise_maps_bwd(tile_i, tile_j, interpret, xyz, g):
+    _, vjp = jax.vjp(_maps_jnp, xyz)
+    (dxyz,) = vjp(g)
+    return (dxyz,)
+
+
+pairwise_maps.defvjp(_pairwise_maps_fwd, _pairwise_maps_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_i", "tile_j", "interpret", "out_dtype")
+)
+def pairwise_maps_pallas(
+    xyz: jnp.ndarray,
+    tile_i: int = 128,
+    tile_j: int = 512,
+    interpret: bool = False,
+    out_dtype=jnp.float32,
+) -> Dict[str, jnp.ndarray]:
     """Run the fused pair-feature kernel. xyz: ``(B, L, A, 3)`` float32.
 
-    Returns the six trRosetta value maps, each ``(B, L, L)`` float32.
+    Returns the six trRosetta value maps, each ``(B, L, L)`` of ``out_dtype``
+    (compute stays f32 in-kernel; ``jnp.bfloat16`` halves HBM write traffic
+    for deep-learning consumers at ~3e-3 relative output precision).
     """
     B, L = xyz.shape[:2]
     Lp = _ceil_to(max(L, 8), min(tile_i, tile_j))
@@ -210,7 +313,7 @@ def pairwise_maps_pallas(
     fi, fj = _pack_planes(xyz_p)
 
     grid = (B, Lp // tile_i, Lp // tile_j)
-    out_shape = [jax.ShapeDtypeStruct((B, Lp, Lp), jnp.float32)] * 6
+    out_shape = [jax.ShapeDtypeStruct((B, Lp, Lp), out_dtype)] * 6
     out_spec = pl.BlockSpec(
         (1, tile_i, tile_j),
         lambda b, i, j: (b, i, j),
@@ -233,8 +336,7 @@ def pairwise_maps_pallas(
         interpret=interpret,
     )(fi, fj)
 
-    names = ["d_ca", "d_cb", "d_no", "omega", "theta", "phi"]
-    return {k: v[:, :L, :L] for k, v in zip(names, outs)}
+    return {k: v[:, :L, :L] for k, v in zip(_MAP_NAMES, outs)}
 
 
 def trrosetta_features(
