@@ -56,9 +56,18 @@ class TrFoldConfig:
 
 
 def featurize_for_model(batch, use_pallas: bool = False):
-    """StructureBatch -> model inputs (seq_idx, torsions, pair features, masks)."""
+    """StructureBatch -> model inputs (seq_idx, torsions, pair features, masks).
+
+    Real structures have residues with missing backbone atoms whose torsions
+    are NaN even where the (terminal-only) dihedral mask is True
+    (protstruc.py:502-503 documents the same limitation); the mask is
+    tightened here so NaNs never reach the model or the loss.
+    """
     g = batch.inter_residue_geometry(use_pallas=use_pallas)
     torsions, torsion_mask = batch.backbone_dihedrals()
+    torsion_mask = torsion_mask & jnp.isfinite(torsions)
+    torsions = jnp.nan_to_num(torsions, nan=0.0)
+    pair_mask = g["d_cb_mask"] & jnp.isfinite(g["d_cb"])
     seq_idx = batch.get_seq_idx() if batch.seq is not None else jnp.zeros(
         batch.chain_idx.shape, jnp.int32
     )
@@ -70,7 +79,7 @@ def featurize_for_model(batch, use_pallas: bool = False):
         "omega": g["omega"],
         "theta": g["theta"],
         "phi": g["phi"],
-        "pair_mask": g["d_cb_mask"],
+        "pair_mask": pair_mask,
         "residue_mask": batch.residue_mask,
     }
 
