@@ -56,6 +56,28 @@ def featurize_pallas(xyz, atom_mask, chain_idx):
     return g, d, m, frames
 
 
+def featurize_pallas_bf16(xyz, atom_mask, chain_idx):
+    """bf16 map outputs: halves HBM write traffic (not parity-grade;
+    reported to stderr only, never as the headline JSON)."""
+    from protstruc_tpu.batch import _backbone_dihedrals
+    from protstruc_tpu.ops.pallas_pairwise import pairwise_maps_pallas
+    from protstruc_tpu.vocab import ATOM
+    from protstruc_tpu import geometry as geom
+
+    g = dict(pairwise_maps_pallas(
+        xyz, interpret=jax.default_backend() != "tpu", out_dtype=jnp.bfloat16
+    ))
+    for key, (ai, aj) in {
+        "d_ca_mask": ("CA", "CA"), "d_cb_mask": ("CB", "CB"), "d_no_mask": ("N", "O"),
+    }.items():
+        mi = atom_mask[:, :, int(ATOM[ai])]
+        mj = atom_mask[:, :, int(ATOM[aj])]
+        g[key] = mi[:, :, None] & mj[:, None, :]
+    d, m = _backbone_dihedrals(xyz, chain_idx, atom_mask)
+    frames = geom.gram_schmidt(xyz[:, :, 0], xyz[:, :, 1], xyz[:, :, 2])
+    return g, d, m, frames
+
+
 def time_variant(fn, args, name, rtt):
     """Time with a scalar-checksum fetch.
 
@@ -238,18 +260,24 @@ def main():
         run_configs(rtt)
 
     results = {}
-    for name, fn in [("jnp-fused", featurize_jnp), ("pallas", featurize_pallas)]:
+    for name, fn in [
+        ("jnp-fused", featurize_jnp),
+        ("pallas", featurize_pallas),
+        ("pallas-bf16", featurize_pallas_bf16),  # diagnostics only
+    ]:
         try:
             results[name] = time_variant(fn, args, name, rtt)
         except Exception as e:  # report but don't fail the whole bench
             log(f"[{name}] FAILED: {type(e).__name__}: {e}")
 
-    if not results:
+    # headline = best parity-grade (f32) variant; bf16 is stderr-only
+    parity = {k: v for k, v in results.items() if not k.endswith("bf16")}
+    if not parity:
         raise SystemExit("all benchmark variants failed")
 
-    best_name = max(results, key=results.get)
-    best = results[best_name]
-    log(f"best: {best_name}")
+    best_name = max(parity, key=parity.get)
+    best = parity[best_name]
+    log(f"best (parity-grade): {best_name}")
 
     print(
         json.dumps(

@@ -6,3 +6,4 @@ from protstruc_tpu.ops.pairwise import (
     pairwise_planar_angle_maps,
     full_pairwise_distance_matrix,
 )
+from protstruc_tpu.ops.metrics import gdt_ts, rmsd, superimpose, tm_score

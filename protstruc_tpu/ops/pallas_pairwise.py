@@ -346,11 +346,15 @@ def trrosetta_features(
     tile_j: int = 512,
     interpret: bool = None,
 ) -> Dict[str, jnp.ndarray]:
-    """Full inter_residue_geometry dict via the Pallas kernel (+ XLA masks)."""
+    """Full inter_residue_geometry dict via the Pallas kernel (+ XLA masks).
+
+    Differentiable: value maps route through ``pairwise_maps`` (custom VJP
+    with the gradient-safe jnp backward).
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    ret = dict(pairwise_maps_pallas(xyz, tile_i, tile_j, interpret))
+    ret = dict(pairwise_maps(xyz, tile_i, tile_j, interpret))
     for key, (ai, aj) in {
         "d_ca_mask": ("CA", "CA"),
         "d_cb_mask": ("CB", "CB"),
