@@ -1,0 +1,95 @@
+"""GPipe-style pipeline parallelism over a 'pp' mesh axis.
+
+SPMD formulation under ``shard_map``: every device holds one stage's
+parameters (leading stage axis sharded over 'pp'); microbatch activations
+rotate stage-to-stage via ``lax.ppermute`` inside a ``lax.scan`` over
+S + M - 1 ticks.  Bubbles do wasted (masked) compute — the textbook GPipe
+schedule — and gradients flow through the whole schedule, so the same
+function trains.
+
+This is the 'pp' leg of the parallelism story (dp/sp/tp live in mesh.py /
+models/trfold.py; ep in models/moe.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+__all__ = ["pipeline_forward", "stack_stage_params"]
+
+
+def stack_stage_params(params_list):
+    """Stack per-stage param pytrees along a new leading stage axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
+
+
+def pipeline_forward(
+    stage_fn: Callable,
+    stage_params,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "pp",
+):
+    """Run ``stage_fn`` S times (one stage per 'pp' device) over microbatches.
+
+    Args:
+        stage_fn: ``(params_one_stage, activation (mb, ...)) -> (mb, ...)``;
+            activation shape must be the same for every stage.
+        stage_params: pytree with leading axis S == mesh.shape[axis].
+        x: ``(M, mb, ...)`` microbatched input.
+        mesh: mesh containing ``axis``.
+
+    Returns ``(M, mb, ...)`` outputs (replicated across the pp axis).
+    """
+    S = mesh.shape[axis]
+    M = x.shape[0]
+
+    def spmd(params_local, x_all):
+        # params_local: this device's stage params (leading axis 1)
+        params_me = jax.tree_util.tree_map(lambda p: p[0], params_local)
+        d = jax.lax.axis_index(axis)
+
+        state = jnp.zeros_like(x_all[0])
+        outs = jnp.zeros((M,) + x_all.shape[1:], x_all.dtype)
+
+        def tick(carry, t):
+            state, outs = carry
+            # activations advance one stage per tick
+            recv = jax.lax.ppermute(
+                state, axis, [(i, (i + 1) % S) for i in range(S)]
+            )
+            feed_idx = jnp.clip(t, 0, M - 1)
+            inp = jnp.where(d == 0, x_all[feed_idx], recv)
+            new_state = stage_fn(params_me, inp)
+            # last stage emits microbatch t - (S - 1)
+            out_idx = jnp.clip(t - (S - 1), 0, M - 1)
+            emit = (d == S - 1) & (t >= S - 1)
+            outs = jax.lax.cond(
+                emit,
+                lambda o: o.at[out_idx].set(new_state),
+                lambda o: o,
+                outs,
+            )
+            return (new_state, outs), None
+
+        (_, outs), _ = jax.lax.scan(
+            tick, (state, outs), jnp.arange(S + M - 1)
+        )
+        # replicate the last stage's outputs across the pp axis
+        outs = jax.lax.psum(jnp.where(d == S - 1, outs, 0.0), axis)
+        return outs
+
+    in_specs = (
+        jax.tree_util.tree_map(lambda _: P(axis), stage_params),
+        P(),  # microbatches replicated
+    )
+    fn = shard_map(
+        spmd, mesh=mesh, in_specs=in_specs, out_specs=P(), check_rep=False
+    )
+    return fn(stage_params, x)
