@@ -179,12 +179,9 @@ class TrFold(nn.Module):
         node = node + nn.Dense(cfg.node_dim, name="torsion_embed", dtype=cfg.dtype)(tor)
 
         # pair embedding: binned distance + angular sin/cos maps
-        d = jnp.nan_to_num(feats["d_cb"], nan=cfg.max_dist)
-        bins = jnp.clip(
-            (d / cfg.max_dist * cfg.n_dist_bins).astype(jnp.int32),
-            0,
-            cfg.n_dist_bins - 1,
-        )
+        from protstruc_tpu.ops.histogram import distogram_bins
+
+        bins = distogram_bins(feats["d_cb"], cfg.n_dist_bins, cfg.max_dist)
         pair = nn.Embed(cfg.n_dist_bins, cfg.pair_dim, name="dist_embed",
                         dtype=cfg.dtype)(bins)
         ang = jnp.stack(
@@ -255,13 +252,12 @@ class DiffusionDenoiser(nn.Module):
 def loss_fn(params, model: TrFold, feats: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     """Masked distogram CE + torsion sin/cos MSE (self-supervised targets
     come from the featurization itself)."""
+    from protstruc_tpu.ops.histogram import distogram_bins
+
     out = model.apply({"params": params}, feats)
     cfg = model.cfg
 
-    d = jnp.nan_to_num(feats["d_cb"], nan=cfg.max_dist)
-    target_bins = jnp.clip(
-        (d / cfg.max_dist * cfg.n_dist_bins).astype(jnp.int32), 0, cfg.n_dist_bins - 1
-    )
+    target_bins = distogram_bins(feats["d_cb"], cfg.n_dist_bins, cfg.max_dist)
     logp = jax.nn.log_softmax(out["distogram_logits"], axis=-1)
     ce = -jnp.take_along_axis(logp, target_bins[..., None], axis=-1)[..., 0]
     pm = feats["pair_mask"]

@@ -87,10 +87,6 @@ def _atan2_planes(y, x):
     return jnp.where(nan, jnp.nan, r)
 
 
-def _rnorm(a):
-    return jax.lax.rsqrt(_dot(a, a))
-
-
 def _dihedral_from_bonds(b0, b1, b2):
     """Signed dihedral from bond vectors (component planes).
 
