@@ -13,12 +13,8 @@ from protstruc_tpu import geometry, vocab
 from protstruc_tpu.constants import MAX_N_ATOMS_PER_RESIDUE
 from protstruc_tpu.vocab import AA, ATOM, CDR_NAMES
 
-# L3 batch API re-exports (populated as modules land)
-try:  # pragma: no cover - import-order guard during bootstrap
-    from protstruc_tpu.batch import StructureBatch
-    from protstruc_tpu.antibody import AntibodyStructureBatch
-except ImportError:  # modules not built yet
-    pass
+from protstruc_tpu.batch import StructureBatch
+from protstruc_tpu.antibody import AntibodyStructureBatch
 
 # reference-compat alias module: `import protstruc_tpu.general`
 from protstruc_tpu import general  # noqa: F401

@@ -164,6 +164,8 @@ class AntibodyStructureBatch(StructureBatch):
         happens *before* the residue walk; optional Fv trimming by scheme
         ranges; NaN/None-tolerant chain-id handling).
         """
+        if numbering_scheme is None:
+            numbering_scheme = "chothia"  # the reference accepts None too
         if numbering_scheme not in NUMBERING_SCHEMES:
             raise ValueError(
                 'Antibody numbering scheme must be one of "kabat", "chothia", "imgt".'

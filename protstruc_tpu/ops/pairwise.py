@@ -126,6 +126,14 @@ def full_pairwise_distance_matrix(
     Parity with protstruc.py:455-484.  Only for small inputs — memory is
     O(B * L^2 * A^2); prefer ``pairwise_atom_distance`` slices.
     """
+    B, L, A = xyz.shape[:3]
+    elements = B * L * L * A * A
+    if elements > 2**33:  # ~8G elements = 32 GB f32: cannot fit on a chip
+        raise ValueError(
+            f"full_pairwise_distance_matrix would materialize {elements:.2e} "
+            f"elements (B={B}, L={L}, A={A}). Use pairwise_atom_distance / "
+            "inter_residue_geometry (fused (B, L, L) maps) instead."
+        )
     diff = xyz[:, :, None, :, None, :] - xyz[:, None, :, None, :, :]
     dist = jnp.linalg.norm(diff, axis=-1)
     mask = atom_mask[:, :, None, :, None] & atom_mask[:, None, :, None, :]
