@@ -185,6 +185,12 @@ class AntibodyStructureBatch(StructureBatch):
             lids = lids * bsz
         if len(aidss) == 1:
             aidss = aidss * bsz
+        if not (len(hids) == len(lids) == len(aidss) == bsz):
+            raise ValueError(
+                f"chain-id lists must have length 1 or match the number of "
+                f"files ({bsz}); got heavy={len(hids)}, light={len(lids)}, "
+                f"antigen={len(aidss)}"
+            )
 
         parsed, masks_per = [], []
         for f, hid, lid, aids in zip(paths, hids, lids, aidss):
