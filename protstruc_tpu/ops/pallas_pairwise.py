@@ -72,13 +72,16 @@ def _atan2_planes(y, x):
     maxv = jnp.maximum(ax, ay)
     t = jnp.minimum(ax, ay) / jnp.where(maxv == 0.0, 1.0, maxv)
     zz = t * t
+    # degree-15 odd Chebyshev-fitted polynomial on [0, 1]; max err 2.9e-7
     p = t * (
-        0.99997726
-        + zz * (-0.33262347
-        + zz * (0.19354346
-        + zz * (-0.11643287
-        + zz * (0.05265332
-        + zz * -0.01172120))))
+        9.999999228e-01
+        + zz * (-3.333223262e-01
+        + zz * (1.997402858e-01
+        + zz * (-1.404782123e-01
+        + zz * (1.000220526e-01
+        + zz * (-6.087448222e-02
+        + zz * (2.533170106e-02
+        + zz * -5.021063911e-03))))))
     )
     r = jnp.where(ay > ax, _PI_2 - p, p)
     r = jnp.where(x < 0.0, _PI - r, r)
@@ -119,10 +122,14 @@ def _angle_planes(a, b, c):
     return jnp.where(zero, jnp.nan, ang)
 
 
+def _eq3(u, v):
+    """Exact equality of two component-plane 3-vectors, broadcast (TI, TJ)."""
+    return (u[0] == v[0]) & (u[1] == v[1]) & (u[2] == v[2])
+
+
 def _trrosetta_kernel(
     fi_ref, fj_ref,
     d_ca_ref, d_cb_ref, d_no_ref, omega_ref, theta_ref, phi_ref,
-    *, tile_i: int, tile_j: int,
 ):
     fi = fi_ref[0]  # (TILE_I, 12): residue-i atom components in sublanes
     fj = fj_ref[0]  # (12, TILE_J): residue-j atom components in lanes
@@ -151,23 +158,28 @@ def _trrosetta_kernel(
     d_cb_ref[0] = _norm(_sub(cb_i, cb_j)).astype(odt)
     d_no_ref[0] = _norm(_sub(n_i, o_j)).astype(odt)
 
-    # diagonal detection in global residue indices
-    gi = pl.program_id(1) * tile_i + jax.lax.broadcasted_iota(
-        jnp.int32, (tile_i, tile_j), 0
-    )
-    gj = pl.program_id(2) * tile_j + jax.lax.broadcasted_iota(
-        jnp.int32, (tile_i, tile_j), 1
-    )
-    diag = gi == gj
+    # Degenerate (coincident-atom) pairs are detected by exact coordinate
+    # equality, identical to ops/pairwise.py — index-free, so the kernel
+    # works on rectangular (local-i x global-j) blocks under shard_map.
+    # NaN coords compare unequal, so missing-atom entries keep their NaN.
 
-    # omega = dihedral(CA_i, CB_i, CA_j, CB_j); defined self-pairs pin to 0
-    # (parity with ops/pairwise.py) but NaN (missing-atom) entries stay NaN
+    # omega = dihedral(CA_i, CB_i, CA_j, CB_j)
+    deg_o = (
+        (_eq3(ca_i, ca_j) & _eq3(cb_i, cb_j))
+        | _eq3(ca_j, cb_j)
+        | _eq3(ca_i, cb_i)
+    )
     omega = _dihedral_planes(ca_i, cb_i, ca_j, cb_j)
-    omega_ref[0] = jnp.where(diag & ~jnp.isnan(omega), 0.0, omega).astype(odt)
+    omega_ref[0] = jnp.where(deg_o, 0.0, omega).astype(odt)
 
     # theta = dihedral(N_i, CA_i, CB_i, CB_j)
+    deg_t = (
+        (_eq3(n_i, cb_i) & _eq3(ca_i, cb_j))
+        | _eq3(cb_i, cb_j)
+        | _eq3(n_i, ca_i)
+    )
     theta = _dihedral_planes(n_i, ca_i, cb_i, cb_j)
-    theta_ref[0] = jnp.where(diag & ~jnp.isnan(theta), 0.0, theta).astype(odt)
+    theta_ref[0] = jnp.where(deg_t, 0.0, theta).astype(odt)
 
     # phi = angle(CA_i, CB_i, CB_j); NaN on the diagonal in the reference
     # (zero-length bc) — keep NaN by not masking
@@ -290,35 +302,44 @@ def pairwise_maps_pallas(
     tile_j: int = 512,
     interpret: bool = False,
     out_dtype=jnp.float32,
+    xyz_j: jnp.ndarray = None,
 ) -> Dict[str, jnp.ndarray]:
     """Run the fused pair-feature kernel. xyz: ``(B, L, A, 3)`` float32.
 
-    Returns the six trRosetta value maps, each ``(B, L, L)`` of ``out_dtype``
-    (compute stays f32 in-kernel; ``jnp.bfloat16`` halves HBM write traffic
-    for deep-learning consumers at ~3e-3 relative output precision).
+    Returns the six trRosetta value maps, each ``(B, Li, Lj)`` of
+    ``out_dtype`` (compute stays f32 in-kernel; ``jnp.bfloat16`` halves HBM
+    write traffic for deep-learning consumers at ~3e-3 output precision).
+
+    ``xyz_j`` makes the block rectangular: rows come from ``xyz`` (e.g. a
+    device's local residue shard) and columns from ``xyz_j`` (e.g. the
+    all-gathered full residue axis) — the building block for
+    sequence-parallel featurization under shard_map.
     """
-    B, L = xyz.shape[:2]
-    Lp = _ceil_to(max(L, 8), min(tile_i, tile_j))
-    tile_i = min(tile_i, Lp)
-    tile_j = min(tile_j, Lp)
-    Lp = _ceil_to(Lp, max(tile_i, tile_j))
+    if xyz_j is None:
+        xyz_j = xyz
+    B, Li = xyz.shape[:2]
+    Lj = xyz_j.shape[1]
 
-    xyz_p = jnp.pad(
-        xyz.astype(jnp.float32), ((0, 0), (0, Lp - L), (0, 0), (0, 0))
-    )
-    fi, fj = _pack_planes(xyz_p)
+    tile_i = min(tile_i, _ceil_to(max(Li, 8), 8))
+    tile_j = min(tile_j, _ceil_to(max(Lj, 128), 128))
+    Lpi = _ceil_to(max(Li, 8), tile_i)
+    Lpj = _ceil_to(max(Lj, 128), tile_j)
 
-    grid = (B, Lp // tile_i, Lp // tile_j)
-    out_shape = [jax.ShapeDtypeStruct((B, Lp, Lp), out_dtype)] * 6
+    xi = jnp.pad(xyz.astype(jnp.float32), ((0, 0), (0, Lpi - Li), (0, 0), (0, 0)))
+    xj = jnp.pad(xyz_j.astype(jnp.float32), ((0, 0), (0, Lpj - Lj), (0, 0), (0, 0)))
+    fi, _ = _pack_planes(xi)
+    _, fj = _pack_planes(xj)
+
+    grid = (B, Lpi // tile_i, Lpj // tile_j)
+    out_shape = [jax.ShapeDtypeStruct((B, Lpi, Lpj), out_dtype)] * 6
     out_spec = pl.BlockSpec(
         (1, tile_i, tile_j),
         lambda b, i, j: (b, i, j),
         memory_space=pltpu.VMEM,
     )
 
-    kernel = functools.partial(_trrosetta_kernel, tile_i=tile_i, tile_j=tile_j)
     outs = pl.pallas_call(
-        kernel,
+        _trrosetta_kernel,
         name="trrosetta_pair_features",  # XProf-visible kernel name
         grid=grid,
         in_specs=[
@@ -332,7 +353,7 @@ def pairwise_maps_pallas(
         interpret=interpret,
     )(fi, fj)
 
-    return {k: v[:, :L, :L] for k, v in zip(_MAP_NAMES, outs)}
+    return {k: v[:, :Li, :Lj] for k, v in zip(_MAP_NAMES, outs)}
 
 
 def trrosetta_features(

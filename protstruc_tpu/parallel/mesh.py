@@ -101,12 +101,20 @@ def shard_batch(batch, mesh: Mesh):
 
 
 def featurize_sharded(batch, mesh: Mesh, use_pallas: bool = False):
-    """Full featurization pjit-compiled over the mesh.
+    """Full featurization compiled over the mesh.
 
-    Outputs: the 6D geometry dict with pair maps sharded ``P(dp, sp, None)``,
-    backbone dihedrals + mask ``P(dp, sp, None)`` and frames
-    ``P(dp, sp, None, None)``.  XLA inserts the j-side all-gather; everything
-    else is local to each shard.
+    Outputs: the 6D geometry dict with pair maps sharded ``P(dp, sp, None)``
+    (first residue axis sequence-parallel), backbone dihedrals + mask
+    ``P(dp, sp, None)`` and frames ``P(dp, sp, None, None)``.
+
+    ``use_pallas=False``: pjit'd jnp path — XLA inserts the j-side
+    all-gather from the sharding annotations.
+
+    ``use_pallas=True``: explicit shard_map — each device all-gathers the
+    j-side atom columns over 'sp' (O(L*A*3) floats) and runs the fused
+    Pallas kernel on its rectangular (L/sp x L) block.  This is the
+    sequence-parallel form of the pair-feature kernel: compute and output
+    memory split sp-ways, one small ICI collective.
     """
     from protstruc_tpu.batch import _backbone_dihedrals, _inter_residue_geometry
     from protstruc_tpu import geometry as geom
@@ -114,6 +122,19 @@ def featurize_sharded(batch, mesh: Mesh, use_pallas: bool = False):
     pair = NamedSharding(mesh, P("dp", "sp", None))
     node3 = NamedSharding(mesh, P("dp", "sp", None))
     node4 = NamedSharding(mesh, P("dp", "sp", None, None))
+
+    if use_pallas:
+        g = _pair_maps_shardmap(batch.xyz, batch.atom_mask, mesh)
+
+        def small(xyz, atom_mask, chain_idx):
+            d, m = _backbone_dihedrals(xyz, chain_idx, atom_mask)
+            frames = geom.gram_schmidt(xyz[:, :, 0], xyz[:, :, 1], xyz[:, :, 2])
+            return d, m, frames
+
+        d, m, frames = jax.jit(small, out_shardings=(node3, node3, node4))(
+            batch.xyz, batch.atom_mask, batch.chain_idx
+        )
+        return g, d, m, frames
 
     def fn(xyz, atom_mask, chain_idx):
         g = _inter_residue_geometry(xyz, atom_mask)
@@ -135,3 +156,47 @@ def featurize_sharded(batch, mesh: Mesh, use_pallas: bool = False):
     )
     jfn = jax.jit(fn, out_shardings=out_shardings)
     return jfn(batch.xyz, batch.atom_mask, batch.chain_idx)
+
+
+def _pair_maps_shardmap(xyz, atom_mask, mesh: Mesh, interpret: bool = None):
+    """Sequence-parallel fused pair maps: shard_map + rectangular kernel."""
+    from jax.experimental.shard_map import shard_map
+
+    from protstruc_tpu.ops.pallas_pairwise import pairwise_maps_pallas
+    from protstruc_tpu.vocab import ATOM
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def local(xyz_l, am_l):
+        # gather the full residue axis for the j side (small: L * A * 3 f32)
+        xyz_full = jax.lax.all_gather(xyz_l, "sp", axis=1, tiled=True)
+        am_full = jax.lax.all_gather(am_l, "sp", axis=1, tiled=True)
+
+        maps = dict(
+            pairwise_maps_pallas(xyz_l, interpret=interpret, xyz_j=xyz_full)
+        )
+        for key, (ai, aj) in {
+            "d_ca_mask": ("CA", "CA"),
+            "d_cb_mask": ("CB", "CB"),
+            "d_no_mask": ("N", "O"),
+        }.items():
+            mi = am_l[:, :, int(ATOM[ai])]
+            mj = am_full[:, :, int(ATOM[aj])]
+            maps[key] = mi[:, :, None] & mj[:, None, :]
+        return maps
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("dp", "sp", None, None), P("dp", "sp", None)),
+        out_specs={
+            k: P("dp", "sp", None)
+            for k in [
+                "d_ca", "d_cb", "d_no", "omega", "theta", "phi",
+                "d_ca_mask", "d_cb_mask", "d_no_mask",
+            ]
+        },
+        check_rep=False,
+    )
+    return jax.jit(fn)(xyz, atom_mask)

@@ -58,6 +58,43 @@ def test_shard_batch_and_featurize():
     np.testing.assert_array_equal(np.asarray(m), np.asarray(ref_m))
 
 
+def test_featurize_sharded_pallas_matches_local():
+    """Sequence-parallel shard_map + rectangular Pallas kernel == local jnp."""
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(3)
+    xyz = rng.randn(2, 64, 15, 3).astype(np.float32) * 5
+    sb = StructureBatch.from_xyz(xyz)
+    sharded = shard_batch(sb, mesh)
+
+    g, d, m, frames = featurize_sharded(sharded, mesh, use_pallas=True)
+    ref = sb.inter_residue_geometry()
+    for k in ["d_ca", "d_cb", "d_no", "omega", "theta", "phi"]:
+        a, b = np.asarray(ref[k]), np.asarray(g[k])
+        nan_a, nan_b = np.isnan(a), np.isnan(b)
+        np.testing.assert_array_equal(nan_a, nan_b, err_msg=k)
+        np.testing.assert_allclose(b[~nan_b], a[~nan_a], atol=2e-4, err_msg=k)
+    for k in ["d_ca_mask", "d_cb_mask", "d_no_mask"]:
+        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(g[k]))
+
+
+def test_rectangular_kernel():
+    """xyz_j different from xyz: rectangular block equals the full-map slice."""
+    from protstruc_tpu.ops.pallas_pairwise import pairwise_maps_pallas
+
+    rng = np.random.RandomState(4)
+    xyz = jnp.asarray(rng.randn(1, 48, 15, 3).astype(np.float32) * 5)
+    rows = xyz[:, 16:32]
+
+    full = pairwise_maps_pallas(xyz, 16, 16, True)
+    rect = pairwise_maps_pallas(rows, 16, 16, True, xyz_j=xyz)
+    for k in ["d_ca", "d_cb", "omega", "theta", "phi"]:
+        a = np.asarray(full[k][:, 16:32, :])
+        b = np.asarray(rect[k])
+        nan_a, nan_b = np.isnan(a), np.isnan(b)
+        np.testing.assert_array_equal(nan_a, nan_b, err_msg=k)
+        np.testing.assert_allclose(b[~nan_b], a[~nan_a], atol=1e-5, err_msg=k)
+
+
 def test_graft_entry_single():
     import __graft_entry__ as ge
 
