@@ -144,6 +144,22 @@ class AntibodyStructureBatch(StructureBatch):
     def get_residue_idx(self) -> jnp.ndarray:
         return self.residue_idx
 
+    def residue_compact(self, mask) -> "AntibodyStructureBatch":
+        """Mask-and-compact that also reorders the named residue masks."""
+        mask = jnp.asarray(mask, dtype=bool)
+        base = StructureBatch.residue_compact(self, mask)
+        if self.residue_masks is None:
+            return base
+
+        order = jnp.argsort(~mask, axis=1, stable=True)
+        count = jnp.sum(mask, axis=1, keepdims=True)
+        keep = jnp.arange(self.n_residues)[None, :] < count
+        new_masks = {
+            k: jnp.take_along_axis(v, order, axis=1) & keep
+            for k, v in self.residue_masks.items()
+        }
+        return base.replace(residue_masks=new_masks)
+
     # ------------------------------------------------------------------
     # ingest
     # ------------------------------------------------------------------

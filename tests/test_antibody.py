@@ -132,6 +132,22 @@ def test_imgt_and_kabat_schemes_accepted():
         assert np.asarray(ab.get_cdr_mask()).any()
 
 
+def test_residue_compact_reorders_masks(ab6dc4):
+    import jax.numpy as jnp
+
+    # keep only the heavy chain; CDR masks must follow the reordering
+    hmask = ab6dc4.get_heavy_chain_mask()
+    comp = ab6dc4.residue_compact(hmask)
+    n_h = int(np.asarray(hmask).sum())
+    assert np.asarray(comp.get_heavy_chain_mask())[:, :n_h].all()
+    assert not np.asarray(comp.get_heavy_chain_mask())[:, n_h:].any()
+    assert not np.asarray(comp.get_light_chain_mask()).any()
+    # H-loop CDR count preserved, L-loops gone
+    h_cdrs = np.asarray(ab6dc4.get_cdr_mask(["H1", "H2", "H3"])).sum()
+    assert np.asarray(comp.get_cdr_mask(["H1", "H2", "H3"])).sum() == h_cdrs
+    assert np.asarray(comp.get_cdr_mask(["L1", "L2", "L3"])).sum() == 0
+
+
 def test_pytree_with_masks():
     import jax
 
