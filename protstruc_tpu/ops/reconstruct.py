@@ -56,8 +56,35 @@ def _floyd_warshall_minplus(d: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-@partial(jax.jit, static_argnames=("n_relax_sweeps",))
 def reconstruct_backbone_distmat_from_interresidue_geometry(
+    d_cb: jnp.ndarray,
+    omega: jnp.ndarray,
+    theta: jnp.ndarray,
+    phi: jnp.ndarray,
+    mask: jnp.ndarray = None,
+    chain_breaks=None,
+    chain_break_mask: jnp.ndarray = None,
+    n_relax_sweeps: int = 1,
+) -> jnp.ndarray:
+    """See :func:`_reconstruct_distmat`; accepts the reference's
+    ``chain_breaks`` index list (geometry.py:249-251) or the static-shape
+    ``chain_break_mask`` boolean form."""
+    if chain_breaks is not None:
+        if chain_break_mask is not None:
+            raise ValueError("pass chain_breaks or chain_break_mask, not both")
+        L = d_cb.shape[-1]
+        import numpy as np
+
+        cbm = np.zeros(L - 1, dtype=bool)
+        cbm[np.asarray(list(chain_breaks), dtype=int)] = True
+        chain_break_mask = jnp.asarray(cbm)
+    return _reconstruct_distmat(
+        d_cb, omega, theta, phi, mask, chain_break_mask, n_relax_sweeps
+    )
+
+
+@partial(jax.jit, static_argnames=("n_relax_sweeps",))
+def _reconstruct_distmat(
     d_cb: jnp.ndarray,
     omega: jnp.ndarray,
     theta: jnp.ndarray,
@@ -144,7 +171,10 @@ def reconstruct_backbone_distmat_from_interresidue_geometry(
 
     dist = jnp.transpose(flat.reshape(3, L, 3, L), (0, 2, 1, 3))
 
-    # re-pin ideal bonds after relaxation (geometry.py:337-345)
+    # re-pin ideal bonds after relaxation (geometry.py:337-345).  Note this
+    # re-pins C-N at chain breaks too — matching the reference, whose final
+    # re-pin also overrides its own break sentinel; the break still matters
+    # because the relaxation above could not tunnel through it.
     dist = dist.at[_N, _CA].set(jnp.where(eye, ideal.NA, dist[_N, _CA]))
     dist = dist.at[_CA, _N].set(jnp.where(eye, ideal.NA, dist[_CA, _N]))
     dist = dist.at[_CA, _C].set(jnp.where(eye, ideal.AC, dist[_CA, _C]))
@@ -195,7 +225,7 @@ def smacof_refine(
 
 
 @partial(jax.jit, static_argnames=("max_iter",))
-def initialize_backbone_with_mds(dist_mat: jnp.ndarray, max_iter: int = 50) -> jnp.ndarray:
+def initialize_backbone_with_mds(dist_mat: jnp.ndarray, max_iter: int = 500) -> jnp.ndarray:
     """Embed a ``(3, 3, L, L)`` backbone distance tensor into 3D coordinates.
 
     Classical MDS + SMACOF refinement, chirality fix, then ideal O and CB
