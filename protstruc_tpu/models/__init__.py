@@ -9,6 +9,9 @@ library's featurization directly:
   dp/sp/tp-shardable parameters and activations.
 * ``trfold.DiffusionDenoiser`` — epsilon-prediction head over noisy
   coordinates for the Euclidean diffusion pipeline (ops/diffusion.py).
+* ``inverse_fold.InverseFold`` — fixed-backbone sequence design
+  (ProteinMPNN-style) with distance-kernel attention neighborhoods.
+* ``moe.MoEMLP`` — Switch-style expert layer with 'ep' sharding.
 """
 
 from protstruc_tpu.models.trfold import (
@@ -19,3 +22,5 @@ from protstruc_tpu.models.trfold import (
     train_step,
     param_shardings,
 )
+from protstruc_tpu.models.inverse_fold import InverseFold, InverseFoldConfig
+from protstruc_tpu.models.moe import MoEMLP
