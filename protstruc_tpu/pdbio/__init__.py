@@ -7,5 +7,7 @@ atom-record scan, a cache-first RCSB fetcher, and a PDB writer.
 """
 
 from protstruc_tpu.pdbio.parser import ParsedStructure, parse_pdb, parse_pdb_files
-from protstruc_tpu.pdbio.writer import to_pdb
+from protstruc_tpu.pdbio.pdb import PDB, ChothiaAntibodyPDB
+from protstruc_tpu.pdbio.writer import to_pdb, structure_batch_to_pdb
 from protstruc_tpu.pdbio.fetch import fetch_pdb
+from protstruc_tpu.pdbio.dataset import StructureDataset
