@@ -21,6 +21,8 @@ __all__ = [
     "diffuse_step",
     "diffusion_trajectory",
     "forward_marginal",
+    "ddpm_reverse_step",
+    "ddpm_sample",
 ]
 
 
@@ -80,6 +82,84 @@ def diffusion_trajectory(
     if keep_trajectory:
         return final, traj
     return final
+
+
+def ddpm_reverse_step(
+    x_t: jnp.ndarray,
+    eps_hat: jnp.ndarray,
+    key: jax.Array,
+    betas: jnp.ndarray,
+    t: jnp.ndarray,
+    clip_x0: float = None,
+) -> jnp.ndarray:
+    """One ancestral DDPM reverse step ``x_t -> x_{t-1}``.
+
+    Uses the x0-parameterized posterior: the implied
+    ``x0_hat = (x_t - sqrt(1-abar_t) eps_hat) / sqrt(abar_t)`` feeds the
+    posterior mean ``q(x_{t-1} | x_t, x0_hat)``.  ``clip_x0`` bounds
+    ``x0_hat`` (the standard stabilizer — imperfect denoisers otherwise
+    blow up through the ~1/sqrt(alpha_t) amplification at high-noise
+    steps).  No noise is added at t = 0.  ``t``: scalar int step index.
+    """
+    alphas = 1.0 - betas
+    alpha_bar = jnp.cumprod(alphas)
+    ab_t = alpha_bar[t]
+    ab_prev = jnp.where(t > 0, alpha_bar[jnp.maximum(t - 1, 0)], 1.0)
+    a_t = alphas[t]
+    b_t = betas[t]
+
+    x0_hat = (x_t - jnp.sqrt(1.0 - ab_t) * eps_hat) / jnp.sqrt(ab_t)
+    if clip_x0 is not None:
+        x0_hat = jnp.clip(x0_hat, -clip_x0, clip_x0)
+
+    mean = (
+        jnp.sqrt(ab_prev) * b_t * x0_hat
+        + jnp.sqrt(a_t) * (1.0 - ab_prev) * x_t
+    ) / (1.0 - ab_t)
+    var = b_t * (1.0 - ab_prev) / (1.0 - ab_t)
+
+    z = jax.random.normal(key, x_t.shape, dtype=x_t.dtype)
+    return jnp.where(t > 0, mean + jnp.sqrt(var) * z, mean)
+
+
+def ddpm_sample(
+    denoise_fn,
+    key: jax.Array,
+    shape: Tuple[int, ...],
+    betas: jnp.ndarray,
+    keep_trajectory: bool = False,
+    clip_x0: float = None,
+):
+    """Full reverse diffusion under ``lax.scan``: noise -> sample.
+
+    Args:
+        denoise_fn: ``(x_t, t) -> eps_hat`` (e.g. a trained
+            models.DiffusionDenoiser closure); ``t`` is a scalar int32.
+        key: PRNG key.
+        shape: sample shape (e.g. ``(B, L, 3)`` CA coordinates in
+            standardized space).
+        betas: ``(T,)`` schedule (same one used for the forward process).
+        clip_x0: bound on the implied x0 (e.g. ~4 for standardized
+            coordinates); strongly recommended for imperfect denoisers.
+
+    Returns ``x_0`` (or ``(x_0, trajectory)``).
+    """
+    T = betas.shape[0]
+    k0, kloop = jax.random.split(key)
+    x_T = jax.random.normal(k0, shape, dtype=jnp.float32)
+    keys = jax.random.split(kloop, T)
+
+    def step(x, inp):
+        k, t = inp
+        eps_hat = denoise_fn(x, t)
+        x = ddpm_reverse_step(x, eps_hat, k, betas, t, clip_x0=clip_x0)
+        return x, (x if keep_trajectory else None)
+
+    ts = jnp.arange(T - 1, -1, -1)
+    x0, traj = jax.lax.scan(step, x_T, (keys, ts))
+    if keep_trajectory:
+        return x0, traj
+    return x0
 
 
 def forward_marginal(
