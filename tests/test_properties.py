@@ -109,6 +109,27 @@ def test_pallas_bf16_output():
     np.testing.assert_allclose(b, a, rtol=1e-2, atol=1e-2)
 
 
+def test_checkify_catches_nan_featurization():
+    """jax.experimental.checkify integrates with the geometry kernels for
+    NaN surveillance (SURVEY §5: the TPU answer to the reference's absent
+    sanitizer story)."""
+    from jax.experimental import checkify
+
+    import protstruc_tpu.geometry as geom
+
+    def angle_of(x):
+        return geom.angle(x, x, x + 1.0)  # coincident a == b -> 0/0 NaN
+
+    checked = checkify.checkify(jax.jit(angle_of), errors=checkify.nan_checks)
+    err, out = checked(jnp.ones((4, 3)))
+    with pytest.raises(Exception):
+        err.throw()
+
+    # clean input: no error
+    err2, _ = checked(jnp.asarray(np.random.RandomState(0).randn(4, 3), jnp.float32))
+    err2.throw()
+
+
 def test_validate_batch_ok():
     sb = StructureBatch.from_pdb(pdb_path("1ad0_DC.pdb"))
     assert validate_batch(sb) == []
