@@ -117,16 +117,19 @@ def test_checkify_catches_nan_featurization():
 
     import protstruc_tpu.geometry as geom
 
-    def angle_of(x):
-        return geom.angle(x, x, x + 1.0)  # coincident a == b -> 0/0 NaN
+    def angle_of(a, b, c):
+        return geom.angle(a, b, c)
 
     checked = checkify.checkify(jax.jit(angle_of), errors=checkify.nan_checks)
-    err, out = checked(jnp.ones((4, 3)))
+
+    x = jnp.ones((4, 3))
+    err, _ = checked(x, x, x + 1.0)  # coincident a == b -> 0/0 NaN
     with pytest.raises(Exception):
         err.throw()
 
-    # clean input: no error
-    err2, _ = checked(jnp.asarray(np.random.RandomState(0).randn(4, 3), jnp.float32))
+    rng = np.random.RandomState(0)
+    pts = [jnp.asarray(rng.randn(4, 3), jnp.float32) for _ in range(3)]
+    err2, _ = checked(*pts)  # well-separated points: no error
     err2.throw()
 
 
