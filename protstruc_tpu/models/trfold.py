@@ -53,6 +53,8 @@ class TrFoldConfig:
     n_dist_bins: int = 36
     max_dist: float = 20.0
     dtype: Any = jnp.float32  # set jnp.bfloat16 for MXU-native training
+    moe_experts: int = 0      # > 0 replaces block MLPs with expert-parallel MoE
+    moe_aux_weight: float = 1e-2
 
 
 def featurize_for_model(batch, use_pallas: bool = False):
@@ -149,11 +151,21 @@ class TrFoldBlock(nn.Module):
             nn.LayerNorm(dtype=cfg.dtype)(node), pair, mask
         )
         mlp_in = nn.LayerNorm(dtype=cfg.dtype)(node)
-        mlp = nn.Dense(cfg.node_dim * 4, name="mlp_in", dtype=cfg.dtype)(mlp_in)
-        mlp = nn.Dense(cfg.node_dim, name="mlp_out", dtype=cfg.dtype)(nn.gelu(mlp))
+        aux = 0.0
+        if cfg.moe_experts > 0:
+            from protstruc_tpu.models.moe import MoEMLP
+
+            mlp, aux = MoEMLP(
+                n_experts=cfg.moe_experts,
+                hidden_dim=cfg.node_dim * 4,
+                name="moe",
+            )(mlp_in, mask)
+        else:
+            mlp = nn.Dense(cfg.node_dim * 4, name="mlp_in", dtype=cfg.dtype)(mlp_in)
+            mlp = nn.Dense(cfg.node_dim, name="mlp_out", dtype=cfg.dtype)(nn.gelu(mlp))
         node = node + mlp
         pair = PairUpdate(cfg, name="pair_update")(node, pair, mask)
-        return node, pair
+        return node, pair, aux
 
 
 class TrFold(nn.Module):
@@ -196,8 +208,10 @@ class TrFold(nn.Module):
         ang = jnp.where(feats["pair_mask"][..., None], ang, 0.0)
         pair = pair + nn.Dense(cfg.pair_dim, name="ang_embed", dtype=cfg.dtype)(ang)
 
+        moe_aux = 0.0
         for i in range(cfg.n_blocks):
-            node, pair = TrFoldBlock(cfg, name=f"block_{i}")(node, pair, mask)
+            node, pair, aux = TrFoldBlock(cfg, name=f"block_{i}")(node, pair, mask)
+            moe_aux = moe_aux + aux
 
         pair_sym = pair + jnp.swapaxes(pair, 1, 2)
         distogram = nn.Dense(cfg.n_dist_bins, name="distogram_head",
@@ -206,6 +220,7 @@ class TrFold(nn.Module):
         return {
             "distogram_logits": distogram,
             "torsion_sincos": torsions.reshape(torsions.shape[:-1] + (3, 2)),
+            "moe_aux_loss": jnp.asarray(moe_aux, jnp.float32),
         }
 
 
@@ -270,7 +285,7 @@ def loss_fn(params, model: TrFold, feats: Dict[str, jnp.ndarray]) -> jnp.ndarray
     mse = jnp.sum(jnp.where(tm, (out["torsion_sincos"] - target_sc) ** 2, 0.0))
     mse = mse / jnp.maximum(jnp.sum(tm), 1.0)
 
-    return ce + mse
+    return ce + mse + cfg.moe_aux_weight * out["moe_aux_loss"]
 
 
 def make_train_state(

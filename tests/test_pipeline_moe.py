@@ -78,6 +78,35 @@ def test_moe_masked_tokens_produce_zero():
     np.testing.assert_allclose(np.asarray(out[:, 8:]), 0.0, atol=1e-6)
 
 
+def test_trfold_with_moe_blocks():
+    """TrFold(moe_experts>0) trains end to end with the aux balance loss."""
+    import functools
+
+    import __graft_entry__ as ge
+    from protstruc_tpu.models.trfold import (
+        TrFold, TrFoldConfig, featurize_for_model, make_train_state, train_step)
+
+    cfg = TrFoldConfig(node_dim=32, pair_dim=16, n_heads=2, n_blocks=2,
+                       moe_experts=4)
+    model = TrFold(cfg)
+    feats = featurize_for_model(ge._example_batch(B=2, L=16))
+    out = model.apply(
+        {"params": model.init(jax.random.PRNGKey(0), feats)["params"]}, feats
+    )
+    assert float(out["moe_aux_loss"]) > 0
+
+    params, opt_state, tx = make_train_state(model, feats, jax.random.PRNGKey(0), 3e-3)
+    jstep = jax.jit(functools.partial(train_step, model=model, tx=tx))
+    losses = []
+    for _ in range(6):
+        params, opt_state, loss = jstep(params, opt_state, feats)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+    # expert params exist and are shaped (E, ...)
+    assert params["block_0"]["moe"]["w1"].shape[0] == 4
+
+
 def test_moe_expert_sharding():
     from protstruc_tpu.parallel.mesh import make_mesh
 
