@@ -39,40 +39,48 @@ def pipeline_forward(
     """Run ``stage_fn`` S times (one stage per 'pp' device) over microbatches.
 
     Args:
-        stage_fn: ``(params_one_stage, activation (mb, ...)) -> (mb, ...)``;
-            activation shape must be the same for every stage.
+        stage_fn: ``(params_one_stage, activation) -> activation`` where the
+            activation is an array or pytree of arrays ``(mb, ...)``; its
+            structure and shapes must be identical for every stage (they
+            flow device-to-device).
         stage_params: pytree with leading axis S == mesh.shape[axis].
-        x: ``(M, mb, ...)`` microbatched input.
+        x: microbatched input — array or pytree with leading ``(M, mb, ...)``.
         mesh: mesh containing ``axis``.
 
-    Returns ``(M, mb, ...)`` outputs (replicated across the pp axis).
+    Returns outputs of the same structure as ``x`` (replicated across pp).
     """
     S = mesh.shape[axis]
-    M = x.shape[0]
+    tmap = jax.tree_util.tree_map
+    M = jax.tree_util.tree_leaves(x)[0].shape[0]
 
     def spmd(params_local, x_all):
         # params_local: this device's stage params (leading axis 1)
-        params_me = jax.tree_util.tree_map(lambda p: p[0], params_local)
+        params_me = tmap(lambda p: p[0], params_local)
         d = jax.lax.axis_index(axis)
 
-        state = jnp.zeros_like(x_all[0])
-        outs = jnp.zeros((M,) + x_all.shape[1:], x_all.dtype)
+        state = tmap(lambda v: jnp.zeros_like(v[0]), x_all)
+        outs = tmap(jnp.zeros_like, x_all)
 
         def tick(carry, t):
             state, outs = carry
             # activations advance one stage per tick
-            recv = jax.lax.ppermute(
-                state, axis, [(i, (i + 1) % S) for i in range(S)]
+            recv = tmap(
+                lambda s: jax.lax.ppermute(
+                    s, axis, [(i, (i + 1) % S) for i in range(S)]
+                ),
+                state,
             )
             feed_idx = jnp.clip(t, 0, M - 1)
-            inp = jnp.where(d == 0, x_all[feed_idx], recv)
+            inp = tmap(
+                lambda xa, r: jnp.where(d == 0, xa[feed_idx], r), x_all, recv
+            )
             new_state = stage_fn(params_me, inp)
             # last stage emits microbatch t - (S - 1)
             out_idx = jnp.clip(t - (S - 1), 0, M - 1)
             emit = (d == S - 1) & (t >= S - 1)
             outs = jax.lax.cond(
                 emit,
-                lambda o: o.at[out_idx].set(new_state),
+                lambda o: tmap(lambda oo, ns: oo.at[out_idx].set(ns), o, new_state),
                 lambda o: o,
                 outs,
             )
@@ -82,14 +90,17 @@ def pipeline_forward(
             tick, (state, outs), jnp.arange(S + M - 1)
         )
         # replicate the last stage's outputs across the pp axis
-        outs = jax.lax.psum(jnp.where(d == S - 1, outs, 0.0), axis)
+        outs = tmap(
+            lambda o: jax.lax.psum(jnp.where(d == S - 1, o, 0.0), axis), outs
+        )
         return outs
 
     in_specs = (
-        jax.tree_util.tree_map(lambda _: P(axis), stage_params),
-        P(),  # microbatches replicated
+        tmap(lambda _: P(axis), stage_params),
+        tmap(lambda _: P(), x),
     )
     fn = shard_map(
-        spmd, mesh=mesh, in_specs=in_specs, out_specs=P(), check_rep=False
+        spmd, mesh=mesh, in_specs=in_specs, out_specs=tmap(lambda _: P(), x),
+        check_rep=False,
     )
     return fn(stage_params, x)

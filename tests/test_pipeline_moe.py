@@ -56,6 +56,46 @@ def test_pipeline_is_differentiable():
     assert float(jnp.abs(g["w"]).sum()) > 0
 
 
+def test_pipelined_trfold_blocks():
+    """TrFold blocks as pipeline stages (pytree activations: node + pair)."""
+    from protstruc_tpu.models.trfold import TrFoldBlock, TrFoldConfig
+
+    S, M, mb, L = 2, 4, 2, 12
+    cfg = TrFoldConfig(node_dim=16, pair_dim=8, n_heads=2)
+    block = TrFoldBlock(cfg)
+    mask = jnp.ones((mb, L), bool)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), S)
+    node0 = jax.random.normal(jax.random.PRNGKey(1), (mb, L, 16))
+    pair0 = jax.random.normal(jax.random.PRNGKey(2), (mb, L, L, 8))
+    stage_params = stack_stage_params(
+        [block.init(k, node0, pair0, mask)["params"] for k in keys]
+    )
+
+    def stage_fn(p, act):
+        node, pair, _aux = block.apply({"params": p}, act["node"], act["pair"], mask)
+        return {"node": node, "pair": pair}
+
+    x = {
+        "node": jax.random.normal(jax.random.PRNGKey(3), (M, mb, L, 16)),
+        "pair": jax.random.normal(jax.random.PRNGKey(4), (M, mb, L, L, 8)),
+    }
+    mesh = _pp_mesh(S)
+    out = pipeline_forward(stage_fn, stage_params, x, mesh)
+
+    # sequential reference
+    ref = x
+    for s in range(S):
+        p = jax.tree_util.tree_map(lambda v: v[s], stage_params)
+        ref = jax.vmap(lambda a: stage_fn(p, a))(ref)
+    np.testing.assert_allclose(
+        np.asarray(out["node"]), np.asarray(ref["node"]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pair"]), np.asarray(ref["pair"]), atol=1e-4
+    )
+
+
 def test_moe_forward_and_balance():
     B, L, D = 2, 32, 16
     model = MoEMLP(n_experts=4, hidden_dim=32)
