@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 B, L, A = 256, 512, 15
 BASELINE = 256.0  # structures/s north star
-WARMUP, ITERS = 2, 5
+WARMUP, ITERS = 2, 10
 
 
 def log(*a):
