@@ -231,18 +231,24 @@ def parse_pdb(
     """
     data = _read_bytes(source)
 
-    rec = None
-    if use_native:
-        from protstruc_tpu.pdbio.native import parse_atom_records_native
+    from protstruc_tpu.pdbio.cif import looks_like_cif, parse_atom_records_cif
 
-        try:
-            rec = parse_atom_records_native(data)
-        except ValueError:
-            raise  # "no ATOM/HETATM records" — same error as the NumPy path
-        except Exception:
-            rec = None  # native unavailable/broken: fall back silently
-    if rec is None:
-        rec = _parse_atom_records(_read_model1_lines(data))
+    if looks_like_cif(data):
+        rec = parse_atom_records_cif(data)
+    else:
+        rec = None
+        if use_native:
+            from protstruc_tpu.pdbio.native import parse_atom_records_native
+
+            try:
+                rec = parse_atom_records_native(data)
+            except ValueError:
+                raise  # "no ATOM/HETATM records" — same error as NumPy path
+            except Exception:
+                rec = None  # native unavailable/broken: fall back silently
+        if rec is None:
+            rec = _parse_atom_records(_read_model1_lines(data))
+
     rec = _filter_first_altloc(rec)
     rec = _tidy(rec)
 
