@@ -270,6 +270,38 @@ class StructureBatch:
         return base
 
     @classmethod
+    def from_sequence(
+        cls,
+        seqs: Union[str, List[str]],
+        phi: float = -2.094,
+        psi: float = 2.094,
+        omega: float = 3.1415,
+    ) -> "StructureBatch":
+        """Initialize extended-chain backbones from amino-acid sequences.
+
+        New convenience constructor (not in the reference): builds uniform
+        (phi, psi, omega) torsions — default extended/beta conformation —
+        folds them with the NeRF chain, and attaches sequence metadata so
+        ``get_seq_idx`` works.  Ragged sequences are padded to the longest.
+        """
+        seqs = [seqs] if isinstance(seqs, str) else list(seqs)
+        bsz = len(seqs)
+        max_l = max(len(s) for s in seqs)
+
+        tor = np.zeros((bsz, max_l, 3), np.float32)
+        tor[..., 0], tor[..., 1], tor[..., 2] = phi, psi, omega
+
+        base = cls.from_dihedrals(tor)
+        atom_mask = np.array(base.atom_mask)  # writable copy
+        for i, s in enumerate(seqs):
+            atom_mask[i, len(s):] = False
+        return base.replace(
+            atom_mask=jnp.asarray(atom_mask),
+            chain_ids=_freeze_chain_ids([["A"]] * bsz),
+            seq=_freeze_seq([{"A": s} for s in seqs]),
+        )
+
+    @classmethod
     def from_dihedrals(
         cls,
         dihedrals,

@@ -312,6 +312,20 @@ def test_structurebatch_is_pytree():
     assert out.shape == (2, 2, 3)
 
 
+def test_from_sequence():
+    sb = StructureBatch.from_sequence(["ACDY", "GG"])
+    assert sb.get_xyz().shape == (2, 4, 15, 3)
+    idx = np.asarray(sb.get_seq_idx())
+    assert idx[0].tolist() == [0, 1, 2, 19]
+    assert idx[1, :2].tolist() == [5, 5]
+    # padding masked out for the shorter sequence
+    assert not np.asarray(sb.residue_mask)[1, 2:].any()
+    # extended chain: consecutive CA-CA ~ 3.8 A
+    ca = np.asarray(sb.get_xyz()[0, :, 1])
+    d = np.linalg.norm(np.diff(ca, axis=0), axis=-1)
+    np.testing.assert_allclose(d, 3.8, atol=0.15)
+
+
 def test_seq_idx():
     xyz = np.random.rand(1, 6, 15, 3)
     sb = StructureBatch.from_xyz(
