@@ -377,6 +377,21 @@ class StructureBatch:
             return None
         return [dict(s) for s in self.seq]
 
+    def get_chain_mask(self, chain_id: str) -> jnp.ndarray:
+        """``(B, L)`` bool: residues belonging to the named chain per structure.
+
+        Convenience addition (not in the reference): maps the chain-ID string
+        to each structure's chain index and compares.
+        """
+        if self.chain_ids is None:
+            raise ValueError("chain ids not available")
+        codes = np.array(
+            [cids.index(chain_id) if chain_id in cids else -99
+             for cids in self.chain_ids],
+            dtype=np.int32,
+        )
+        return self.chain_idx == jnp.asarray(codes)[:, None]
+
     def get_max_n_residues(self) -> int:
         return self.n_residues
 

@@ -14,7 +14,7 @@ import numpy as np
 
 from protstruc_tpu.vocab import RESTYPE_HEAVY_ATOMS, AA, one2three
 
-__all__ = ["to_pdb", "structure_batch_to_pdb"]
+__all__ = ["to_pdb", "structure_batch_to_pdb", "structure_batch_to_cif"]
 
 
 def _atom_line(serial, atom, aa3, chain_id, res_num, x, y, z) -> str:
@@ -55,6 +55,60 @@ def to_pdb(
                     serial += 1
                 coord_idx += 1
                 res_num += 1
+
+
+def structure_batch_to_cif(batch, filename: str, index: int = 0) -> None:
+    """Write one member of a StructureBatch as minimal mmCIF (PDBx).
+
+    Emits the ``_atom_site`` loop consumed by pdbio/cif.py (and any other
+    PDBx reader); complements the legacy-PDB writers as the modern format.
+    """
+    xyz = np.asarray(batch.get_xyz()[index])
+    mask = np.asarray(batch.get_atom_mask()[index])
+    chain_idx = np.asarray(batch.get_chain_idx()[index])
+    residue_idx = np.asarray(batch.residue_idx[index])
+    chain_ids = batch.get_chain_ids()[index] if batch.get_chain_ids() else ["A"]
+    seq_idx = np.asarray(batch.get_seq_idx()[index]) if batch.seq else None
+
+    header = [
+        "data_protstruc_tpu",
+        "#",
+        "loop_",
+        "_atom_site.group_PDB",
+        "_atom_site.id",
+        "_atom_site.label_atom_id",
+        "_atom_site.label_alt_id",
+        "_atom_site.auth_comp_id",
+        "_atom_site.auth_asym_id",
+        "_atom_site.auth_seq_id",
+        "_atom_site.pdbx_PDB_ins_code",
+        "_atom_site.Cartn_x",
+        "_atom_site.Cartn_y",
+        "_atom_site.Cartn_z",
+        "_atom_site.pdbx_PDB_model_num",
+    ]
+    with open(filename, "w") as out:
+        out.write("\n".join(header) + "\n")
+        serial = 1
+        for i in range(xyz.shape[0]):
+            ci = int(chain_idx[i])
+            if ci < 0 or not mask[i].any():
+                continue
+            aa = AA(int(seq_idx[i])) if seq_idx is not None else AA.UNK
+            aa3 = aa.name if aa is not AA.UNK else "UNK"
+            atom_names = RESTYPE_HEAVY_ATOMS.get(aa, [""] * xyz.shape[1])
+            res_num = int(residue_idx[i]) if residue_idx[i] >= 0 else i + 1
+            cid = chain_ids[ci] if ci < len(chain_ids) else "A"
+            for a in range(xyz.shape[1]):
+                if not mask[i, a] or not atom_names[a]:
+                    continue
+                x, y, z = xyz[i, a]
+                out.write(
+                    f"ATOM {serial} {atom_names[a]} . {aa3} {cid} {res_num} ? "
+                    f"{x:.3f} {y:.3f} {z:.3f} 1\n"
+                )
+                serial += 1
+        out.write("#\n")
 
 
 def structure_batch_to_pdb(batch, filename: str, index: int = 0) -> None:

@@ -223,6 +223,32 @@ def test_writer_roundtrip(tmp_path):
     )
 
 
+def test_cif_writer_roundtrip(tmp_path):
+    from protstruc_tpu.pdbio.writer import structure_batch_to_cif
+
+    sb = StructureBatch.from_pdb_id("1REX")
+    out = tmp_path / "rt.cif"
+    structure_batch_to_cif(sb, str(out))
+    sb2 = StructureBatch.from_pdb(str(out))  # auto-detects mmCIF
+    assert sb2.n_residues == sb.n_residues
+    m = np.asarray(sb.get_atom_mask()) & np.asarray(sb2.get_atom_mask())
+    np.testing.assert_allclose(
+        np.asarray(sb.get_xyz())[m], np.asarray(sb2.get_xyz())[m], atol=1.5e-3
+    )
+    assert sb2.get_seq() == sb.get_seq()
+
+
+def test_get_chain_mask():
+    sb = StructureBatch.from_pdb(pdb_path("1ad0_DC.pdb"))
+    md = np.asarray(sb.get_chain_mask("D"))
+    mc = np.asarray(sb.get_chain_mask("C"))
+    assert md.any() and mc.any()
+    assert not (md & mc).any()
+    total = int(np.asarray(sb.residue_mask).sum())
+    assert ((md | mc) & np.asarray(sb.residue_mask)).sum() == total
+    assert not np.asarray(sb.get_chain_mask("Z")).any()
+
+
 def test_to_pdb_writer_legacy_format(tmp_path):
     coords = np.random.rand(5, 4, 3).astype(np.float32) * 10
     out = tmp_path / "bb.pdb"
