@@ -7,3 +7,13 @@ from protstruc_tpu.ops.pairwise import (
     full_pairwise_distance_matrix,
 )
 from protstruc_tpu.ops.metrics import gdt_ts, rmsd, superimpose, tm_score
+from protstruc_tpu.ops.histogram import contact_map, distance_histogram, distogram_bins
+from protstruc_tpu.ops.rigid import (
+    frame_apply,
+    frame_compose,
+    frame_invert,
+    quat_to_rot,
+    random_rotations,
+    rot_to_quat,
+)
+from protstruc_tpu.ops.idealize import idealize_backbone
