@@ -15,6 +15,7 @@ coordinate columns (O(L * 12) floats — negligible vs the L^2/sp output).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -124,17 +125,43 @@ def featurize_sharded(batch, mesh: Mesh, use_pallas: bool = False):
     node4 = NamedSharding(mesh, P("dp", "sp", None, None))
 
     if use_pallas:
-        g = _pair_maps_shardmap(batch.xyz, batch.atom_mask, mesh)
-
-        def small(xyz, atom_mask, chain_idx):
-            d, m = _backbone_dihedrals(xyz, chain_idx, atom_mask)
-            frames = geom.gram_schmidt(xyz[:, :, 0], xyz[:, :, 1], xyz[:, :, 2])
-            return d, m, frames
-
-        d, m, frames = jax.jit(small, out_shardings=(node3, node3, node4))(
+        g = _pair_maps_shardmap(mesh)(batch.xyz, batch.atom_mask)
+        d, m, frames = _small_feats_fn(mesh)(
             batch.xyz, batch.atom_mask, batch.chain_idx
         )
         return g, d, m, frames
+
+    return _featurize_fn(mesh)(batch.xyz, batch.atom_mask, batch.chain_idx)
+
+
+# jitted-function constructors are cached per mesh so repeated
+# featurize_sharded calls hit the jit cache instead of retracing
+
+
+@functools.lru_cache(maxsize=8)
+def _small_feats_fn(mesh: Mesh):
+    from protstruc_tpu.batch import _backbone_dihedrals
+    from protstruc_tpu import geometry as geom
+
+    node3 = NamedSharding(mesh, P("dp", "sp", None))
+    node4 = NamedSharding(mesh, P("dp", "sp", None, None))
+
+    def small(xyz, atom_mask, chain_idx):
+        d, m = _backbone_dihedrals(xyz, chain_idx, atom_mask)
+        frames = geom.gram_schmidt(xyz[:, :, 0], xyz[:, :, 1], xyz[:, :, 2])
+        return d, m, frames
+
+    return jax.jit(small, out_shardings=(node3, node3, node4))
+
+
+@functools.lru_cache(maxsize=8)
+def _featurize_fn(mesh: Mesh):
+    from protstruc_tpu.batch import _backbone_dihedrals, _inter_residue_geometry
+    from protstruc_tpu import geometry as geom
+
+    pair = NamedSharding(mesh, P("dp", "sp", None))
+    node3 = NamedSharding(mesh, P("dp", "sp", None))
+    node4 = NamedSharding(mesh, P("dp", "sp", None, None))
 
     def fn(xyz, atom_mask, chain_idx):
         g = _inter_residue_geometry(xyz, atom_mask)
@@ -154,12 +181,15 @@ def featurize_sharded(batch, mesh: Mesh, use_pallas: bool = False):
         node3,
         node4,
     )
-    jfn = jax.jit(fn, out_shardings=out_shardings)
-    return jfn(batch.xyz, batch.atom_mask, batch.chain_idx)
+    return jax.jit(fn, out_shardings=out_shardings)
 
 
-def _pair_maps_shardmap(xyz, atom_mask, mesh: Mesh, interpret: bool = None):
-    """Sequence-parallel fused pair maps: shard_map + rectangular kernel."""
+@functools.lru_cache(maxsize=8)
+def _pair_maps_shardmap(mesh: Mesh, interpret: bool = None):
+    """Sequence-parallel fused pair maps: shard_map + rectangular kernel.
+
+    Returns a cached jitted callable ``(xyz, atom_mask) -> maps dict``.
+    """
     from jax.experimental.shard_map import shard_map
 
     from protstruc_tpu.ops.pallas_pairwise import pairwise_maps_pallas
@@ -199,4 +229,4 @@ def _pair_maps_shardmap(xyz, atom_mask, mesh: Mesh, interpret: bool = None):
         },
         check_rep=False,
     )
-    return jax.jit(fn)(xyz, atom_mask)
+    return jax.jit(fn)
