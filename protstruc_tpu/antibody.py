@@ -165,6 +165,34 @@ class AntibodyStructureBatch(StructureBatch):
     # ------------------------------------------------------------------
 
     @classmethod
+    def from_pdb_id(
+        cls,
+        pdb_id: Union[str, List[str]],
+        heavy_chain_id: Union[str, List[str], None] = None,
+        light_chain_id: Union[str, List[str], None] = None,
+        antigen_chain_ids: Union[str, List, None] = None,
+        numbering_scheme: str = "chothia",
+        keep_fv_only: bool = False,
+    ) -> "AntibodyStructureBatch":
+        """Fetch entries (cache-first) and build an antibody batch with masks.
+
+        The reference inherits a mask-less ``from_pdb_id``; this override
+        routes through the antibody-aware ingest.
+        """
+        from protstruc_tpu.pdbio.fetch import fetch_pdb
+
+        ids = _always_list(pdb_id)
+        paths = [fetch_pdb(i) for i in ids]
+        return cls.from_pdb(
+            paths,
+            heavy_chain_id=heavy_chain_id,
+            light_chain_id=light_chain_id,
+            antigen_chain_ids=antigen_chain_ids,
+            numbering_scheme=numbering_scheme,
+            keep_fv_only=keep_fv_only,
+        )
+
+    @classmethod
     def from_pdb(
         cls,
         pdb_path: Union[str, List[str]],

@@ -117,6 +117,12 @@ def test_batch_of_antibodies():
     assert d.shape[0] == 2 and d.shape[2] == 3
 
 
+def test_from_pdb_id_antibody():
+    ab = AntibodyStructureBatch.from_pdb_id("6dc4", "H", "L")
+    assert ab.get_xyz().shape == (1, 437, 15, 3)
+    assert np.asarray(ab.get_cdr_mask()).any()
+
+
 def test_invalid_scheme():
     with pytest.raises(ValueError):
         AntibodyStructureBatch.from_pdb(pdb_path("6dc4.pdb"), "H", "L",
