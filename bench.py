@@ -254,7 +254,11 @@ def main():
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     args = make_inputs(jax.random.PRNGKey(0))
-    rtt = measure_rtt()
+    try:
+        rtt = measure_rtt()
+    except Exception as e:  # remote relay hiccup: assume typical RTT
+        log(f"RTT measurement failed ({type(e).__name__}); assuming 30 ms")
+        rtt = 0.03
 
     if "--configs" in _sys.argv:
         run_configs(rtt)
@@ -265,10 +269,12 @@ def main():
         ("pallas", featurize_pallas),
         ("pallas-bf16", featurize_pallas_bf16),  # diagnostics only
     ]:
-        try:
-            results[name] = time_variant(fn, args, name, rtt)
-        except Exception as e:  # report but don't fail the whole bench
-            log(f"[{name}] FAILED: {type(e).__name__}: {e}")
+        for attempt in (1, 2):  # the remote relay occasionally drops a call
+            try:
+                results[name] = time_variant(fn, args, name, rtt)
+                break
+            except Exception as e:  # report but don't fail the whole bench
+                log(f"[{name}] attempt {attempt} FAILED: {type(e).__name__}: {e}")
 
     # headline = best parity-grade (f32) variant; bf16 is stderr-only
     parity = {k: v for k, v in results.items() if not k.endswith("bf16")}

@@ -128,6 +128,20 @@ def if_train_step(params, opt_state, feats, model, tx):
     return params, opt_state, loss
 
 
+def sample_sequence(
+    params, model, feats, key: jax.Array, temperature: float = 1.0
+) -> jnp.ndarray:
+    """Sample sequences from the design distribution. ``(B, L)`` int32.
+
+    ``temperature -> 0`` approaches argmax design; higher values diversify.
+    Positions outside ``residue_mask`` come back as UNK (20).
+    """
+    logits = model.apply({"params": params}, feats)
+    t = jnp.maximum(temperature, 1e-4)
+    seq = jax.random.categorical(key, logits / t, axis=-1)
+    return jnp.where(feats["residue_mask"], seq, 20).astype(jnp.int32)
+
+
 def sequence_recovery(params, model, feats) -> jnp.ndarray:
     """Fraction of valid residues whose argmax prediction matches the native."""
     logits = model.apply({"params": params}, feats)

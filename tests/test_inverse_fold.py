@@ -47,6 +47,21 @@ def test_features_exclude_sequence(setup):
     }
 
 
+def test_sample_sequence(setup):
+    from protstruc_tpu.models.inverse_fold import sample_sequence
+
+    sb, feats, model, params, *_ = setup
+    s1 = sample_sequence(params, model, feats, jax.random.PRNGKey(0), 1.0)
+    s2 = sample_sequence(params, model, feats, jax.random.PRNGKey(1), 1.0)
+    assert s1.shape == (1, 130)
+    assert (np.asarray(s1) <= 20).all() and (np.asarray(s1) >= 0).all()
+    assert (np.asarray(s1) != np.asarray(s2)).any()  # stochastic
+    # near-zero temperature == argmax
+    cold_a = sample_sequence(params, model, feats, jax.random.PRNGKey(2), 1e-4)
+    cold_b = sample_sequence(params, model, feats, jax.random.PRNGKey(3), 1e-4)
+    np.testing.assert_array_equal(np.asarray(cold_a), np.asarray(cold_b))
+
+
 def test_overfit_single_structure_recovers_sequence(setup):
     """Training on one structure must push sequence recovery far above the
     5% random / ~10% majority-class baselines."""
