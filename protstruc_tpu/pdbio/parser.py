@@ -100,9 +100,14 @@ def _read_bytes(source: Union[str, os.PathLike, _io.IOBase]) -> bytes:
         data = source.read()
         if isinstance(data, str):
             data = data.encode()
-        return data
-    with open(source, "rb") as f:
-        return f.read()
+    else:
+        with open(source, "rb") as f:
+            data = f.read()
+    if data[:2] == b"\x1f\x8b":  # gzipped archive entry (.pdb.gz / .cif.gz)
+        import gzip
+
+        data = gzip.decompress(data)
+    return data
 
 
 def _read_model1_lines(data: bytes) -> List[bytes]:

@@ -223,6 +223,16 @@ def test_writer_roundtrip(tmp_path):
     )
 
 
+def test_gzip_ingest(tmp_path):
+    import gzip
+
+    src = open(pdb_path("1REX.pdb"), "rb").read()
+    gz = tmp_path / "1rex.pdb.gz"
+    gz.write_bytes(gzip.compress(src))
+    sb = StructureBatch.from_pdb(str(gz))
+    assert sb.get_xyz().shape == (1, 130, 15, 3)
+
+
 def test_cif_writer_roundtrip(tmp_path):
     from protstruc_tpu.pdbio.writer import structure_batch_to_cif
 
