@@ -46,7 +46,8 @@ def parse_atom_records_cif(data: bytes) -> Dict[str, np.ndarray]:
                 cols.append(lines[j].strip().split(".", 1))
                 j += 1
             if cols and cols[0][0] == "_atom_site":
-                header = [c[1].strip() for c in cols]
+                # malformed header entries without a '.' contribute no column
+                header = [c[1].strip() if len(c) > 1 else "" for c in cols]
                 body_start = j
                 break
             i = j
