@@ -409,7 +409,11 @@ class StructureBatch:
         for i, (seq_pairs, cids) in enumerate(zip(self.seq, self.chain_ids)):
             d = dict(seq_pairs)
             concat = "".join(d[c] for c in cids)
-            out[i, : len(concat)] = [ressymb_to_resindex[r] for r in concat]
+            # truncate defensively: selection ops leave seq metadata stale
+            # (as in the reference, protstruc.py:926-929, whose get_seq_idx
+            # would crash on such batches)
+            n = min(len(concat), self.n_residues)
+            out[i, :n] = [ressymb_to_resindex[r] for r in concat[:n]]
         return jnp.asarray(out)
 
     def get_total_lengths(self) -> jnp.ndarray:
@@ -713,6 +717,41 @@ class StructureBatch:
             residue_idx=self.residue_idx[:, sel],
             chain_ids=self.chain_ids,
             seq=self.seq,
+        )
+
+    def random_crop(self, key: jax.Array, size: int) -> "StructureBatch":
+        """Contiguous random residue window per structure (static size).
+
+        Standard training transform (not in the reference): each structure
+        gets an independent window of ``size`` residues starting uniformly
+        inside its valid span; shorter structures start at 0 and keep their
+        padding. Runs on device (``dynamic_slice`` per structure) and is
+        jit/scan-safe.
+
+        ``seq`` metadata cannot follow a traced crop offset and is dropped;
+        capture ``get_seq_idx()`` *before* cropping and crop it alongside if
+        sequence conditioning is needed.
+        """
+        if size > self.n_residues:
+            raise ValueError(f"crop size {size} > padded length {self.n_residues}")
+        lengths = self.get_total_lengths()
+        max_start = jnp.maximum(lengths - size, 0)
+        u = jax.random.uniform(key, (self.batch_size,))
+        starts = (u * (max_start + 1).astype(u.dtype)).astype(jnp.int32)
+        starts = jnp.minimum(starts, max_start)
+
+        def crop(x):
+            def one(xi, s):
+                return jax.lax.dynamic_slice_in_dim(xi, s, size, axis=0)
+
+            return jax.vmap(one)(x, starts)
+
+        return self.replace(
+            xyz=crop(self.xyz),
+            atom_mask=crop(self.atom_mask),
+            chain_idx=crop(self.chain_idx),
+            residue_idx=crop(self.residue_idx),
+            seq=None,
         )
 
     def residue_compact(self, mask) -> "StructureBatch":

@@ -312,6 +312,32 @@ def test_structurebatch_is_pytree():
     assert out.shape == (2, 2, 3)
 
 
+def test_random_crop():
+    xyz = np.random.rand(2, 40, 15, 3).astype(np.float32)
+    atom_mask = np.ones((2, 40, 15), bool)
+    atom_mask[1, 20:] = False  # structure 1 has only 20 valid residues
+    sb = StructureBatch.from_xyz(xyz, atom_mask)
+
+    crop = sb.random_crop(jax.random.PRNGKey(0), 16)
+    assert crop.get_xyz().shape == (2, 16, 15, 3)
+    # crops come from the original coordinates
+    flat = np.asarray(sb.get_xyz()[0]).reshape(-1)
+    assert np.isin(np.asarray(crop.get_xyz()[0]).reshape(-1), flat).all()
+    # short structure: window stays inside its 20 valid residues
+    assert np.asarray(crop.residue_mask[1]).sum() == 16
+
+    # different keys give different windows (w.h.p.)
+    crop2 = sb.random_crop(jax.random.PRNGKey(1), 16)
+    assert (np.asarray(crop.residue_idx) != np.asarray(crop2.residue_idx)).any()
+
+    # jit-safe
+    out = jax.jit(lambda b, k: b.random_crop(k, 16))(sb, jax.random.PRNGKey(2))
+    assert out.get_xyz().shape == (2, 16, 15, 3)
+
+    with pytest.raises(ValueError):
+        sb.random_crop(jax.random.PRNGKey(0), 100)
+
+
 def test_from_sequence():
     sb = StructureBatch.from_sequence(["ACDY", "GG"])
     assert sb.get_xyz().shape == (2, 4, 15, 3)
