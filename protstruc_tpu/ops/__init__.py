@@ -17,3 +17,4 @@ from protstruc_tpu.ops.rigid import (
     rot_to_quat,
 )
 from protstruc_tpu.ops.idealize import idealize_backbone
+from protstruc_tpu.ops.secondary import assign_secondary_structure, hbond_energy_map
