@@ -486,6 +486,24 @@ class StructureBatch:
         """Coordinates of a backbone atom per residue ``(B, L, 3)`` (protstruc.py:573-587)."""
         return self.xyz[:, :, int(ATOM[atom])]
 
+    def secondary_structure(self) -> jnp.ndarray:
+        """DSSP-style 3-class secondary structure per residue.
+
+        ``(B, L)`` int32: 0 coil, 1 helix, 2 strand (ops/secondary.py —
+        Kabsch-Sander H-bonds from backbone coordinates).
+        """
+        from protstruc_tpu.ops.secondary import assign_secondary_structure
+
+        xyz = jnp.nan_to_num(self.xyz, nan=0.0)
+        ss, _ = assign_secondary_structure(
+            xyz[:, :, int(ATOM.N)],
+            xyz[:, :, int(ATOM.CA)],
+            xyz[:, :, int(ATOM.C)],
+            xyz[:, :, int(ATOM.O)],
+            self.residue_mask,
+        )
+        return ss
+
     def get_local_xyz(self) -> jnp.ndarray:
         """Atom coordinates rotated into each residue's local frame.
 
