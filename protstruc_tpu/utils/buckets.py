@@ -14,7 +14,7 @@ from typing import Sequence
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["DEFAULT_BUCKETS", "bucket_length", "pad_batch_to_bucket"]
+__all__ = ["DEFAULT_BUCKETS", "bucket_length", "pad_batch_to_bucket", "concat_batches"]
 
 #: Default residue-length buckets: fine-grained at common protein sizes,
 #: multiples of 128 (TPU lane width) from 256 up.
@@ -27,6 +27,57 @@ def bucket_length(n: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
         if n <= b:
             return b
     return (n + 127) // 128 * 128
+
+
+def concat_batches(batches, buckets: Sequence[int] = DEFAULT_BUCKETS):
+    """Concatenate StructureBatches along B, padding L to a common bucket.
+
+    Metadata (chain_ids/seq) concatenates when present on every input,
+    otherwise drops to None.  Standardized batches cannot be mixed with
+    unstandardized ones.
+    """
+    if not batches:
+        raise ValueError("concat_batches needs at least one batch")
+    if len({b.standardized for b in batches}) > 1:
+        raise ValueError("cannot concat standardized with unstandardized batches")
+
+    target = bucket_length(max(b.n_residues for b in batches), buckets)
+    padded = [
+        pad_batch_to_bucket(b, (target,)) if b.n_residues != target else b
+        for b in batches
+    ]
+
+    def cat(field):
+        return jnp.concatenate([getattr(b, field) for b in padded], axis=0)
+
+    chain_ids = None
+    if all(b.chain_ids is not None for b in batches):
+        chain_ids = sum((b.chain_ids for b in batches), ())
+    seq = None
+    if all(b.seq is not None for b in batches):
+        seq = sum((b.seq for b in batches), ())
+
+    first = padded[0]
+    out = first.replace(
+        xyz=cat("xyz"),
+        atom_mask=cat("atom_mask"),
+        chain_idx=cat("chain_idx"),
+        residue_idx=cat("residue_idx"),
+        mu=cat("mu") if first.mu is not None else None,
+        std=cat("std") if first.std is not None else None,
+        chain_ids=chain_ids,
+        seq=seq,
+    )
+    if getattr(first, "residue_masks", None):
+        if not all(getattr(b, "residue_masks", None) for b in padded):
+            raise ValueError("cannot concat antibody batches with plain batches")
+        out = out.replace(
+            residue_masks={
+                k: jnp.concatenate([b.residue_masks[k] for b in padded], axis=0)
+                for k in first.residue_masks
+            }
+        )
+    return out
 
 
 def pad_batch_to_bucket(batch, buckets: Sequence[int] = DEFAULT_BUCKETS):
@@ -47,9 +98,15 @@ def pad_batch_to_bucket(batch, buckets: Sequence[int] = DEFAULT_BUCKETS):
         widths = [(0, 0), (0, extra)] + [(0, 0)] * (x.ndim - 2)
         return jnp.pad(x, widths, constant_values=value)
 
-    return batch.replace(
+    out = batch.replace(
         xyz=pad(batch.xyz, 0.0),
         atom_mask=pad(batch.atom_mask, False),
         chain_idx=pad(batch.chain_idx, PAD_IDX),
         residue_idx=pad(batch.residue_idx, PAD_IDX),
     )
+    # antibody batches carry named (B, L) residue masks that must pad along
+    if getattr(batch, "residue_masks", None):
+        out = out.replace(
+            residue_masks={k: pad(v, False) for k, v in batch.residue_masks.items()}
+        )
+    return out

@@ -39,6 +39,39 @@ def test_pad_batch_to_bucket():
     assert pad_batch_to_bucket(padded) is padded
 
 
+def test_pad_batch_pads_antibody_masks():
+    ab = AntibodyStructureBatch.from_pdb(pdb_path("6dc4.pdb"), "H", "L")
+    padded = pad_batch_to_bucket(ab)  # 437 -> 512
+    assert padded.n_residues == 512
+    h = np.asarray(padded.get_heavy_chain_mask())
+    assert h.shape == (1, 512)
+    assert h.sum() == np.asarray(ab.get_heavy_chain_mask()).sum()
+    assert not h[0, 437:].any()
+
+
+def test_concat_batches():
+    from protstruc_tpu.utils.buckets import concat_batches
+
+    a = StructureBatch.from_pdb(pdb_path("1REX.pdb"))    # L=130
+    b = StructureBatch.from_pdb(pdb_path("4EOT.pdb"))    # L=184
+    cat = concat_batches([a, b])
+    assert cat.get_batch_size() == 2
+    assert cat.n_residues == 256  # common bucket
+    assert sorted(np.asarray(cat.get_total_lengths()).tolist()) == [130, 184]
+    assert cat.get_seq()[0] == a.get_seq()[0]
+    assert cat.get_seq()[1] == b.get_seq()[0]
+
+    # antibody masks concatenate too
+    ab1 = AntibodyStructureBatch.from_pdb(pdb_path("6dc4.pdb"), "H", "L")
+    ab2 = AntibodyStructureBatch.from_pdb(pdb_path("15c8_HL.pdb"), "H", "L")
+    abc = concat_batches([ab1, ab2])
+    assert abc.get_heavy_chain_mask().shape == (2, abc.n_residues)
+    assert np.asarray(abc.get_cdr_mask()).any(axis=1).all()
+
+    with pytest.raises(ValueError):
+        concat_batches([a, a.standardize()])
+
+
 def test_serialization_roundtrip_plain():
     sb = StructureBatch.from_pdb(pdb_path("1ad0_DC.pdb")).standardize()
     buf = io.BytesIO()
