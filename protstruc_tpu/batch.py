@@ -486,6 +486,21 @@ class StructureBatch:
         """Coordinates of a backbone atom per residue ``(B, L, 3)`` (protstruc.py:573-587)."""
         return self.xyz[:, :, int(ATOM[atom])]
 
+    def interface_residues(
+        self, cutoff: float = 8.0, atom: str = "CB"
+    ) -> jnp.ndarray:
+        """Residues in contact with a *different* chain. ``(B, L)`` bool.
+
+        A residue is interfacial when any residue of another chain has the
+        chosen atom within ``cutoff`` Angstrom (CB by default; glycines fall
+        back to nothing unless ``atom="CA"``).  Fused (B, L, L) computation.
+        """
+        d, m = self.pairwise_atom_distance(atom, atom)
+        other_chain = self.chain_idx[:, :, None] != self.chain_idx[:, None, :]
+        valid = m & other_chain & (self.chain_idx >= 0)[:, None, :]
+        contact = jnp.nan_to_num(d, nan=jnp.inf) < cutoff
+        return (contact & valid).any(axis=2) & self.residue_mask
+
     def secondary_structure(self) -> jnp.ndarray:
         """DSSP-style 3-class secondary structure per residue.
 

@@ -312,6 +312,23 @@ def test_structurebatch_is_pytree():
     assert out.shape == (2, 2, 3)
 
 
+def test_interface_residues():
+    from protstruc_tpu import StructureBatch
+    from tests.conftest import pdb_path
+
+    sb = StructureBatch.from_pdb(pdb_path("6dc4.pdb"))  # H + L chains
+    iface = np.asarray(sb.interface_residues(cutoff=8.0))
+    assert iface.shape == (1, sb.n_residues)
+    frac = iface.sum() / np.asarray(sb.residue_mask).sum()
+    # an Fab H-L pairing buries a substantial interface, but most residues
+    # are not interfacial
+    assert 0.05 < frac < 0.5, frac
+
+    # single-chain structure has no interface
+    one = StructureBatch.from_pdb(pdb_path("1REX.pdb"))
+    assert not np.asarray(one.interface_residues()).any()
+
+
 def test_random_crop():
     xyz = np.random.rand(2, 40, 15, 3).astype(np.float32)
     atom_mask = np.ones((2, 40, 15), bool)
