@@ -486,6 +486,31 @@ class StructureBatch:
         """Coordinates of a backbone atom per residue ``(B, L, 3)`` (protstruc.py:573-587)."""
         return self.xyz[:, :, int(ATOM[atom])]
 
+    def split_chains(self) -> List["StructureBatch"]:
+        """Split a B=1 batch into one batch per chain (host-side convenience).
+
+        Each result keeps only its chain's residues with chain_idx renumbered
+        to 0 and metadata restricted to that chain.
+        """
+        if self.batch_size != 1:
+            raise ValueError("split_chains is defined for batch size 1")
+        if self.chain_ids is None:
+            raise ValueError("chain ids not available")
+
+        out = []
+        for code, cid in enumerate(self.chain_ids[0]):
+            sel = np.asarray(self.chain_idx[0]) == code
+            sub = self.residue_masked_select(sel[None])
+            sub = sub.replace(
+                chain_idx=jnp.zeros_like(sub.chain_idx),
+                chain_ids=((cid,),),
+                seq=((
+                    (cid, dict(self.seq[0])[cid]),
+                ),) if self.seq is not None else None,
+            )
+            out.append(sub)
+        return out
+
     def interface_residues(
         self, cutoff: float = 8.0, atom: str = "CB"
     ) -> jnp.ndarray:

@@ -18,3 +18,9 @@ from protstruc_tpu.ops.rigid import (
 )
 from protstruc_tpu.ops.idealize import idealize_backbone
 from protstruc_tpu.ops.secondary import assign_secondary_structure, hbond_energy_map
+from protstruc_tpu.ops.diffusion import (
+    cosine_variance_schedule,
+    ddpm_sample,
+    diffusion_trajectory,
+    forward_marginal,
+)

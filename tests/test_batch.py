@@ -312,6 +312,22 @@ def test_structurebatch_is_pytree():
     assert out.shape == (2, 2, 3)
 
 
+def test_split_chains():
+    from tests.conftest import pdb_path
+
+    sb = StructureBatch.from_pdb(pdb_path("1ad0_DC.pdb"))
+    chains = sb.split_chains()
+    assert len(chains) == 2
+    assert sum(c.n_residues for c in chains) == sb.n_residues
+    for c in chains:
+        assert len(c.get_chain_ids()[0]) == 1
+        assert (np.asarray(c.get_n_terminal_mask()).sum(axis=1) == 1).all()
+        # sequence metadata restricted to the one chain
+        assert len(c.get_seq()[0]) == 1
+    with pytest.raises(ValueError):
+        _random_batch(2, 10).split_chains()
+
+
 def test_interface_residues():
     from protstruc_tpu import StructureBatch
     from tests.conftest import pdb_path
