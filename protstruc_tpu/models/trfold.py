@@ -52,6 +52,7 @@ class TrFoldConfig:
     n_blocks: int = 3
     n_dist_bins: int = 36
     max_dist: float = 20.0
+    relpos_clip: int = 32     # AF2-style clipped relative-position encoding
     dtype: Any = jnp.float32  # set jnp.bfloat16 for MXU-native training
     moe_experts: int = 0      # > 0 replaces block MLPs with expert-parallel MoE
     moe_aux_weight: float = 1e-2
@@ -83,6 +84,7 @@ def featurize_for_model(batch, use_pallas: bool = False):
         "phi": g["phi"],
         "pair_mask": pair_mask,
         "residue_mask": batch.residue_mask,
+        "chain_idx": batch.chain_idx,
     }
 
 
@@ -207,6 +209,18 @@ class TrFold(nn.Module):
         ang = jnp.nan_to_num(ang, nan=0.0).astype(cfg.dtype)
         ang = jnp.where(feats["pair_mask"][..., None], ang, 0.0)
         pair = pair + nn.Dense(cfg.pair_dim, name="ang_embed", dtype=cfg.dtype)(ang)
+
+        # AF2-style relative position: clipped sequence offset, bucketed with
+        # a dedicated "different chain" class when chain indices are given
+        L = feats["seq_idx"].shape[1]
+        offset = jnp.arange(L)[None, :, None] - jnp.arange(L)[None, None, :]
+        clipped = jnp.clip(offset, -cfg.relpos_clip, cfg.relpos_clip) + cfg.relpos_clip
+        n_rel = 2 * cfg.relpos_clip + 2  # last class = cross-chain
+        if "chain_idx" in feats:
+            cross = feats["chain_idx"][:, :, None] != feats["chain_idx"][:, None, :]
+            clipped = jnp.where(cross, n_rel - 1, clipped)
+        pair = pair + nn.Embed(n_rel, cfg.pair_dim, name="relpos_embed",
+                               dtype=cfg.dtype)(clipped)
 
         moe_aux = 0.0
         for i in range(cfg.n_blocks):
@@ -353,4 +367,5 @@ def feats_shardings(mesh: Mesh):
         "phi": pair,
         "pair_mask": pair,
         "residue_mask": node,
+        "chain_idx": node,
     }
