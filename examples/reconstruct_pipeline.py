@@ -23,6 +23,10 @@ def main():
         reconstruct_backbone_distmat_from_interresidue_geometry,
     )
 
+    import jax.numpy as jnp
+
+    from protstruc_tpu.ops.idealize import idealize_backbone
+
     sb = ps.StructureBatch.from_pdb(src)
     print(f"loaded {src}: {sb.n_residues} residues")
 
@@ -32,6 +36,14 @@ def main():
         mask=g["d_cb_mask"][0],
     )
     coords = initialize_backbone_with_mds(dist, max_iter=200)
+
+    # refine covalent geometry (bond lengths/angles) toward ideal values
+    bb = jnp.stack([coords[0], coords[1], coords[2], coords[3]], axis=1)
+    refined, ideality = idealize_backbone(bb, n_steps=300)
+    coords = jnp.stack(
+        [refined[:, 0], refined[:, 1], refined[:, 2], refined[:, 3], coords[4]]
+    )
+    print(f"idealized: residual geometry loss {float(ideality):.2f}")
 
     # report CA distance-matrix error vs the input structure
     rec = np.asarray(coords[1])
