@@ -231,9 +231,17 @@ class TrFold(nn.Module):
         distogram = nn.Dense(cfg.n_dist_bins, name="distogram_head",
                              dtype=jnp.float32)(pair_sym)
         torsions = nn.Dense(6, name="torsion_head", dtype=jnp.float32)(node)
+        # the remaining trRosetta 6D heads: omega is symmetric, theta/phi are
+        # directional — each predicted as (sin, cos) pairs
+        omega_sc = nn.Dense(2, name="omega_head", dtype=jnp.float32)(pair_sym)
+        theta_sc = nn.Dense(2, name="theta_head", dtype=jnp.float32)(pair)
+        phi_sc = nn.Dense(2, name="phi_head", dtype=jnp.float32)(pair)
         return {
             "distogram_logits": distogram,
             "torsion_sincos": torsions.reshape(torsions.shape[:-1] + (3, 2)),
+            "omega_sincos": omega_sc,
+            "theta_sincos": theta_sc,
+            "phi_sincos": phi_sc,
             "moe_aux_loss": jnp.asarray(moe_aux, jnp.float32),
         }
 
@@ -299,7 +307,17 @@ def loss_fn(params, model: TrFold, feats: Dict[str, jnp.ndarray]) -> jnp.ndarray
     mse = jnp.sum(jnp.where(tm, (out["torsion_sincos"] - target_sc) ** 2, 0.0))
     mse = mse / jnp.maximum(jnp.sum(tm), 1.0)
 
-    return ce + mse + cfg.moe_aux_weight * out["moe_aux_loss"]
+    # inter-residue angle heads (sin/cos MSE; NaN targets masked out)
+    pair_loss = 0.0
+    for key in ("omega", "theta", "phi"):
+        tgt = feats[key]
+        ok = feats["pair_mask"] & jnp.isfinite(tgt)
+        t = jnp.nan_to_num(tgt, nan=0.0)
+        sc = jnp.stack([jnp.sin(t), jnp.cos(t)], axis=-1)
+        err = jnp.where(ok[..., None], (out[f"{key}_sincos"] - sc) ** 2, 0.0)
+        pair_loss = pair_loss + jnp.sum(err) / jnp.maximum(jnp.sum(ok), 1.0)
+
+    return ce + mse + pair_loss + cfg.moe_aux_weight * out["moe_aux_loss"]
 
 
 def make_train_state(
@@ -317,6 +335,46 @@ def train_step(params, opt_state, feats, model: TrFold, tx):
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss
+
+
+def predict_structure(params, model: TrFold, feats, max_iter: int = 200):
+    """Model predictions -> 3D backbone via the trRosetta decode path.
+
+    Converts the distogram to expected CB distances and the angle heads to
+    radians, then runs reconstruction + MDS + idealization (B=1).
+    Returns ``(coords (5, L, 3) N/CA/C/O/CB, predicted 6D dict)``.
+    """
+    from protstruc_tpu.ops.idealize import idealize_backbone
+    from protstruc_tpu.ops.reconstruct import (
+        initialize_backbone_with_mds,
+        reconstruct_backbone_distmat_from_interresidue_geometry,
+    )
+
+    out = model.apply({"params": params}, feats)
+    cfg = model.cfg
+
+    probs = jax.nn.softmax(out["distogram_logits"], axis=-1)
+    centers = (jnp.arange(cfg.n_dist_bins) + 0.5) * (cfg.max_dist / cfg.n_dist_bins)
+    d_cb = jnp.einsum("blmk,k->blm", probs, centers)
+
+    def ang(key):
+        sc = out[f"{key}_sincos"]
+        return jnp.arctan2(sc[..., 0], sc[..., 1])
+
+    pred = {"d_cb": d_cb, "omega": ang("omega"), "theta": ang("theta"),
+            "phi": ang("phi")}
+
+    mask = feats["pair_mask"][0]
+    dist = reconstruct_backbone_distmat_from_interresidue_geometry(
+        d_cb[0], pred["omega"][0], pred["theta"][0], pred["phi"][0], mask=mask
+    )
+    coords = initialize_backbone_with_mds(dist, max_iter=max_iter)
+    bb = jnp.stack([coords[0], coords[1], coords[2], coords[3]], axis=1)
+    refined, _ = idealize_backbone(bb, n_steps=150)
+    coords = jnp.stack(
+        [refined[:, 0], refined[:, 1], refined[:, 2], refined[:, 3], coords[4]]
+    )
+    return coords, pred
 
 
 # ---------------------------------------------------------------------------
