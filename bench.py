@@ -120,6 +120,75 @@ def time_variant(fn, args, name, rtt):
     return sps
 
 
+def parity_check(rtt):
+    """On-TPU kernel parity gate, run before every timing (VERDICT r1 item 2).
+
+    Every unit test runs the kernel with interpret=True on CPU, so the bench
+    is where Mosaic lowering gets certified.  Two tiers on a small batch,
+    scalar-only fetches:
+
+    1. Mosaic vs interpret-mode kernel (identical formulation, only the
+       lowering differs): max|Δ| ≤ 1e-5 per map — the Mosaic-drift detector.
+    2. Kernel vs the jnp-fused oracle: max|Δ| ≤ 2e-4 (the unit-test bound,
+       tests/test_pallas_pairwise.py:25) — on random coordinates the
+       arccos-form jnp path is itself only ~2e-5-accurate near degenerate
+       angles, so 1e-5 is not achievable *between formulations*; the ≤1e-5
+       BASELINE bar is vs the reference on bundled PDBs
+       (tests/test_parity_reference.py, CPU).
+
+    NaN sets must match exactly and masks must be bitwise-equal in both
+    tiers.  Aborts the bench loudly on any violation.
+    """
+    from protstruc_tpu.batch import _inter_residue_geometry
+    from protstruc_tpu.ops.pallas_pairwise import trrosetta_features
+
+    on_tpu = jax.default_backend() == "tpu"
+    kx = jax.random.PRNGKey(7)
+    xyz = jax.random.normal(kx, (2, 128, 15, 3), dtype=jnp.float32) * 8.0
+    atom_mask = jnp.ones((2, 128, 15), dtype=bool)
+
+    def _diffs(ref, ker):
+        out = {}
+        for k in ["d_ca", "d_cb", "d_no", "omega", "theta", "phi"]:
+            a, b = ref[k], ker[k]
+            both_nan = jnp.isnan(a) & jnp.isnan(b)
+            d = jnp.where(both_nan, 0.0, jnp.abs(a - b))
+            out[k] = (
+                jnp.max(jnp.nan_to_num(d, nan=jnp.inf)),
+                jnp.sum(jnp.isnan(a) != jnp.isnan(b)).astype(jnp.float32),
+            )
+        for k in ["d_ca_mask", "d_cb_mask", "d_no_mask"]:
+            out[k] = (jnp.sum(ref[k] != ker[k]).astype(jnp.float32),
+                      jnp.zeros((), jnp.float32))
+        return out
+
+    @jax.jit
+    def tiers(xyz, am):
+        ker = trrosetta_features(xyz, am, interpret=not on_tpu)
+        vs_jnp = _diffs(_inter_residue_geometry(xyz, am), ker)
+        vs_interp = None
+        if on_tpu:  # trace-time constant: compare lowered vs interpret kernel
+            interp = trrosetta_features(xyz, am, interpret=True)
+            vs_interp = _diffs(interp, ker)
+        return vs_jnp, vs_interp
+
+    vs_jnp, vs_interp = tiers(xyz, atom_mask)
+    for name, res, tol in [
+        ("mosaic-vs-interpret", vs_interp, 1e-5),
+        ("kernel-vs-jnp", vs_jnp, 2e-4),
+    ]:
+        if res is None:
+            log(f"[parity] {name}: skipped (backend={jax.default_backend()})")
+            continue
+        res = {k: (float(v[0]), float(v[1])) for k, v in res.items()}
+        worst = max(v[0] for v in res.values())
+        bad = {k: v for k, v in res.items() if v[0] > tol or v[1] != 0}
+        log(f"[parity] {name}: max|d| = {worst:.2e} (tol {tol:.0e}) "
+            + " ".join(f"{k}={v[0]:.1e}" for k, v in res.items()))
+        if bad:
+            raise SystemExit(f"PARITY FAILURE ({name}): {bad}")
+
+
 def measure_rtt():
     @jax.jit
     def tiny(x):
@@ -219,34 +288,83 @@ def run_configs(rtt):
     log(f"[config3] antibody B=64 pair dihedrals+masks: {dt*1e3:.2f} ms "
         f"-> {64/dt:.0f} structures/s")
 
-    # 4. diffusion loop B=256, T=300 on-device
+    # 4. diffusion loop B=256, T=300 cosine schedule on a REAL PDB batch:
+    # standardize + diffuse_xyz under lax.scan, all on-device (BASELINE.md
+    # config 4: "standardize + diffuse_xyz under lax.scan")
+    from protstruc_tpu.batch import _standardize
+
     key = jax.random.PRNGKey(1)
-    xyz = jax.random.normal(key, (256, 256, 15, 3), jnp.float32)
+    rep4 = 256 // sb8.batch_size
+    xyz4_in = jnp.tile(jnp.nan_to_num(sb8.xyz, nan=0.0), (rep4, 1, 1, 1))
+    am4 = jnp.tile(sb8.atom_mask, (rep4, 1, 1))
     betas = cosine_variance_schedule(300)
 
     @jax.jit
-    def cfg4(xyz, key):
-        out = diffusion_trajectory(xyz, key, betas)
-        return out, out[0, 0, 0, 0]
+    def cfg4(xyz, am, key):
+        std_xyz, mu, std = _standardize(xyz, am)
+        out = diffusion_trajectory(std_xyz, key, betas)
+        return out, out[0, 0, 0, 0] + mu[0, 0]
 
-    dt = _time_call(cfg4, xyz, key, rtt=rtt)
-    log(f"[config4] diffusion B=256 T=300: {dt*1e3:.2f} ms "
-        f"({dt/300*1e6:.1f} us/step)")
+    dt = _time_call(cfg4, xyz4_in, am4, key, rtt=rtt)
+    log(f"[config4] standardize+diffuse B=256 (8 PDBs x{rep4}, L={sb8.n_residues}) "
+        f"T=300: {dt*1e3:.2f} ms ({dt/300*1e6:.1f} us/step)")
 
-    # 5. B=1024 x L=1024: bucketed d_cb map + frame reconstruction from torsions
-    # (full six-map output at this size exceeds HBM; d_cb alone is 4.3 GB)
-    big_tor = jax.random.uniform(key, (1024, 1024, 3), minval=-3.1, maxval=3.1)
+    # 5. B=1024 x L=1024 full-atom (A=15): frame reconstruction from torsions
+    # -> bucketed A=15 tensor -> actual-CB d_cb map via the Pallas kernel.
+    # (The six-map output at this size exceeds HBM — d_cb alone is 4.3 GB —
+    # so the kernel's map-subset mode emits only d_cb.)
+    from protstruc_tpu.ops.pallas_pairwise import pairwise_maps_pallas
+    from protstruc_tpu.utils.buckets import bucket_length
+
+    L5 = bucket_length(1024)  # 1024 is itself a bucket boundary
+    big_tor = jax.random.uniform(key, (1024, L5, 3), minval=-3.1, maxval=3.1)
 
     @jax.jit
     def cfg5(tor):
-        xyz4 = backbone_from_dihedrals(tor)
-        ca = xyz4[:, :, 1]
-        d_cb = jnp.linalg.norm(ca[:, :, None] - ca[:, None, :], axis=-1)
-        return xyz4, d_cb, d_cb[0, 0, 1]
+        xyz4 = backbone_from_dihedrals(tor)  # (B, L, 4, 3) N/CA/C/O
+        n, ca, c = xyz4[:, :, 0], xyz4[:, :, 1], xyz4[:, :, 2]
+        # actual CB from the folded backbone (AlphaFold literal combination,
+        # reference geometry.py:221)
+        b_v, c_v = ca - n, c - ca
+        a_v = jnp.cross(b_v, c_v)
+        cb = -0.58273431 * a_v + 0.56802827 * b_v - 0.54067466 * c_v + ca
+        # full-atom A=15 layout: slots N/CA/C/O/CB, remaining sidechain
+        # slots zero (bucketed padding)
+        xyz15 = jnp.zeros(tor.shape[:2] + (15, 3), jnp.float32)
+        xyz15 = xyz15.at[:, :, :4].set(xyz4).at[:, :, 4].set(cb)
+        d_cb = pairwise_maps_pallas(
+            xyz15, interpret=jax.default_backend() != "tpu", maps=("d_cb",)
+        )["d_cb"]
+        return xyz15, d_cb, d_cb[0, 0, 1]
 
     dt = _time_call(cfg5, big_tor, rtt=rtt)
-    log(f"[config5] B=1024 L=1024 fold+distmat: {dt*1e3:.2f} ms "
+    log(f"[config5] B=1024 L={L5} A=15 fold+pallas d_cb: {dt*1e3:.2f} ms "
         f"-> {1024/dt:.0f} structures/s")
+
+
+def run_sharded_diag(rtt):
+    """Time the sequence-parallel shard_map+Pallas path on the live backend.
+
+    On the single real chip this runs the rectangular-kernel shard_map path
+    (xyz_j = all-gathered full axis) on a 1-device (dp,sp,tp)=(1,1,1) mesh —
+    on-hardware evidence that the sp-sharded kernel compiles and performs
+    (VERDICT r1 item 4); multi-device behavior is covered by the CPU-mesh
+    tests and the driver's dryrun.
+    """
+    from protstruc_tpu.parallel.mesh import make_mesh, _pair_maps_shardmap
+
+    mesh = make_mesh(1, axis_shapes=(1, 1, 1))
+    fn = _pair_maps_shardmap(mesh)
+    xyz, atom_mask, _ = make_inputs(jax.random.PRNGKey(0))
+
+    def wrapped(xyz, am):
+        g = fn(xyz, am)
+        return g, g["d_cb"][0, 0, 1] + g["omega"][-1, 5, 9]
+
+    jfn = jax.jit(wrapped)
+    dt = _time_call(jfn, xyz, atom_mask, rtt=rtt)
+    log(f"[sp-shard] shard_map pallas pair maps, 1-device mesh: "
+        f"{dt*1e3:.1f} ms/batch -> {B/dt:.0f} structures/s")
 
 
 def main():
@@ -260,8 +378,14 @@ def main():
         log(f"RTT measurement failed ({type(e).__name__}); assuming 30 ms")
         rtt = 0.03
 
+    parity_check(rtt)
+
     if "--configs" in _sys.argv:
         run_configs(rtt)
+        try:
+            run_sharded_diag(rtt)
+        except Exception as e:
+            log(f"[sp-shard] FAILED: {type(e).__name__}: {e}")
 
     results = {}
     for name, fn in [

@@ -60,11 +60,11 @@ _PI_2 = 1.5707963267948966
 
 
 def _atan2_planes(y, x):
-    """Branch-light atan2: single divide + degree-11 odd minimax polynomial.
+    """Branch-light atan2: single divide + degree-15 odd minimax polynomial.
 
     Mosaic has no atan2/atan lowering (NotImplementedError on TC kernels).
     ``t = min(|x|,|y|)/max(|x|,|y|)`` is in [0, 1], where the polynomial has
-    ~1e-6 max error — well inside the 1e-5 parity budget.  Zero handling
+    ~3e-7 max error — well inside the 1e-5 parity budget.  Zero handling
     matches the canonicalized-+0 convention: atan2(+0, +0) = 0.
     """
     ax = jnp.abs(x)
@@ -127,63 +127,78 @@ def _eq3(u, v):
     return (u[0] == v[0]) & (u[1] == v[1]) & (u[2] == v[2])
 
 
-def _trrosetta_kernel(
-    fi_ref, fj_ref,
-    d_ca_ref, d_cb_ref, d_no_ref, omega_ref, theta_ref, phi_ref,
-):
-    fi = fi_ref[0]  # (TILE_I, 12): residue-i atom components in sublanes
-    fj = fj_ref[0]  # (12, TILE_J): residue-j atom components in lanes
+def _make_trrosetta_kernel(maps):
+    """Build the tile kernel emitting only the requested maps (in order).
 
-    def iv(atom, comp):  # i-side component -> (TILE_I, 1)
-        k = _AIDX[atom] * 3 + comp
-        return fi[:, k : k + 1]
+    The full six-map kernel is ``maps=_MAP_NAMES``; subsets (e.g. a lone
+    ``d_cb`` for distogram pipelines) skip the unneeded arithmetic entirely
+    — at B=1024, L=1024 the six f32 maps would exceed a v5e's HBM, so
+    emitting only what downstream consumers read is the memory/bandwidth
+    lever (BASELINE.md config 5).
+    """
 
-    def jv(atom, comp):  # j-side component -> (1, TILE_J)
-        k = _AIDX[atom] * 3 + comp
-        return fj[k : k + 1, :]
+    def kernel(fi_ref, fj_ref, *out_refs):
+        fi = fi_ref[0]  # (TILE_I, 12): residue-i atom components in sublanes
+        fj = fj_ref[0]  # (12, TILE_J): residue-j atom components in lanes
+        refs = dict(zip(maps, out_refs))
+        odt = out_refs[0].dtype
 
-    def ivec(atom):
-        return (iv(atom, 0), iv(atom, 1), iv(atom, 2))
+        def iv(atom, comp):  # i-side component -> (TILE_I, 1)
+            k = _AIDX[atom] * 3 + comp
+            return fi[:, k : k + 1]
 
-    def jvec(atom):
-        return (jv(atom, 0), jv(atom, 1), jv(atom, 2))
+        def jv(atom, comp):  # j-side component -> (1, TILE_J)
+            k = _AIDX[atom] * 3 + comp
+            return fj[k : k + 1, :]
 
-    n_i, ca_i, cb_i = ivec("N"), ivec("CA"), ivec("CB")
-    ca_j, cb_j, o_j = jvec("CA"), jvec("CB"), jvec("O")
+        def ivec(atom):
+            return (iv(atom, 0), iv(atom, 1), iv(atom, 2))
 
-    odt = d_ca_ref.dtype
+        def jvec(atom):
+            return (jv(atom, 0), jv(atom, 1), jv(atom, 2))
 
-    # distance maps
-    d_ca_ref[0] = _norm(_sub(ca_i, ca_j)).astype(odt)
-    d_cb_ref[0] = _norm(_sub(cb_i, cb_j)).astype(odt)
-    d_no_ref[0] = _norm(_sub(n_i, o_j)).astype(odt)
+        n_i, ca_i, cb_i = ivec("N"), ivec("CA"), ivec("CB")
+        ca_j, cb_j, o_j = jvec("CA"), jvec("CB"), jvec("O")
 
-    # Degenerate (coincident-atom) pairs are detected by exact coordinate
-    # equality, identical to ops/pairwise.py — index-free, so the kernel
-    # works on rectangular (local-i x global-j) blocks under shard_map.
-    # NaN coords compare unequal, so missing-atom entries keep their NaN.
+        # distance maps
+        if "d_ca" in refs:
+            refs["d_ca"][0] = _norm(_sub(ca_i, ca_j)).astype(odt)
+        if "d_cb" in refs:
+            refs["d_cb"][0] = _norm(_sub(cb_i, cb_j)).astype(odt)
+        if "d_no" in refs:
+            refs["d_no"][0] = _norm(_sub(n_i, o_j)).astype(odt)
 
-    # omega = dihedral(CA_i, CB_i, CA_j, CB_j)
-    deg_o = (
-        (_eq3(ca_i, ca_j) & _eq3(cb_i, cb_j))
-        | _eq3(ca_j, cb_j)
-        | _eq3(ca_i, cb_i)
-    )
-    omega = _dihedral_planes(ca_i, cb_i, ca_j, cb_j)
-    omega_ref[0] = jnp.where(deg_o, 0.0, omega).astype(odt)
+        # Degenerate (coincident-atom) pairs are detected by exact coordinate
+        # equality, identical to ops/pairwise.py — index-free, so the kernel
+        # works on rectangular (local-i x global-j) blocks under shard_map.
+        # NaN coords compare unequal, so missing-atom entries keep their NaN.
 
-    # theta = dihedral(N_i, CA_i, CB_i, CB_j)
-    deg_t = (
-        (_eq3(n_i, cb_i) & _eq3(ca_i, cb_j))
-        | _eq3(cb_i, cb_j)
-        | _eq3(n_i, ca_i)
-    )
-    theta = _dihedral_planes(n_i, ca_i, cb_i, cb_j)
-    theta_ref[0] = jnp.where(deg_t, 0.0, theta).astype(odt)
+        if "omega" in refs:
+            # omega = dihedral(CA_i, CB_i, CA_j, CB_j)
+            deg_o = (
+                (_eq3(ca_i, ca_j) & _eq3(cb_i, cb_j))
+                | _eq3(ca_j, cb_j)
+                | _eq3(ca_i, cb_i)
+            )
+            omega = _dihedral_planes(ca_i, cb_i, ca_j, cb_j)
+            refs["omega"][0] = jnp.where(deg_o, 0.0, omega).astype(odt)
 
-    # phi = angle(CA_i, CB_i, CB_j); NaN on the diagonal in the reference
-    # (zero-length bc) — keep NaN by not masking
-    phi_ref[0] = _angle_planes(ca_i, cb_i, cb_j).astype(odt)
+        if "theta" in refs:
+            # theta = dihedral(N_i, CA_i, CB_i, CB_j)
+            deg_t = (
+                (_eq3(n_i, cb_i) & _eq3(ca_i, cb_j))
+                | _eq3(cb_i, cb_j)
+                | _eq3(n_i, ca_i)
+            )
+            theta = _dihedral_planes(n_i, ca_i, cb_i, cb_j)
+            refs["theta"][0] = jnp.where(deg_t, 0.0, theta).astype(odt)
+
+        if "phi" in refs:
+            # phi = angle(CA_i, CB_i, CB_j); NaN on the diagonal in the
+            # reference (zero-length bc) — keep NaN by not masking
+            refs["phi"][0] = _angle_planes(ca_i, cb_i, cb_j).astype(odt)
+
+    return kernel
 
 
 def _pack_planes(xyz: jnp.ndarray):
@@ -294,7 +309,7 @@ pairwise_maps.defvjp(_pairwise_maps_fwd, _pairwise_maps_bwd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_i", "tile_j", "interpret", "out_dtype")
+    jax.jit, static_argnames=("tile_i", "tile_j", "interpret", "out_dtype", "maps")
 )
 def pairwise_maps_pallas(
     xyz: jnp.ndarray,
@@ -303,18 +318,26 @@ def pairwise_maps_pallas(
     interpret: bool = False,
     out_dtype=jnp.float32,
     xyz_j: jnp.ndarray = None,
+    maps: tuple = _MAP_NAMES,
 ) -> Dict[str, jnp.ndarray]:
     """Run the fused pair-feature kernel. xyz: ``(B, L, A, 3)`` float32.
 
-    Returns the six trRosetta value maps, each ``(B, Li, Lj)`` of
-    ``out_dtype`` (compute stays f32 in-kernel; ``jnp.bfloat16`` halves HBM
-    write traffic for deep-learning consumers at ~3e-3 output precision).
+    Returns the requested trRosetta value maps (default all six), each
+    ``(B, Li, Lj)`` of ``out_dtype`` (compute stays f32 in-kernel;
+    ``jnp.bfloat16`` halves HBM write traffic for deep-learning consumers at
+    ~3e-3 output precision).  ``maps``: subset of ``("d_ca", "d_cb", "d_no",
+    "omega", "theta", "phi")`` — unrequested maps cost neither compute nor
+    HBM.
 
     ``xyz_j`` makes the block rectangular: rows come from ``xyz`` (e.g. a
     device's local residue shard) and columns from ``xyz_j`` (e.g. the
     all-gathered full residue axis) — the building block for
     sequence-parallel featurization under shard_map.
     """
+    maps = tuple(maps)
+    unknown = set(maps) - set(_MAP_NAMES)
+    if unknown:
+        raise ValueError(f"unknown maps {sorted(unknown)}; valid: {_MAP_NAMES}")
     if xyz_j is None:
         xyz_j = xyz
     B, Li = xyz.shape[:2]
@@ -331,7 +354,7 @@ def pairwise_maps_pallas(
     _, fj = _pack_planes(xj)
 
     grid = (B, Lpi // tile_i, Lpj // tile_j)
-    out_shape = [jax.ShapeDtypeStruct((B, Lpi, Lpj), out_dtype)] * 6
+    out_shape = [jax.ShapeDtypeStruct((B, Lpi, Lpj), out_dtype)] * len(maps)
     out_spec = pl.BlockSpec(
         (1, tile_i, tile_j),
         lambda b, i, j: (b, i, j),
@@ -339,7 +362,7 @@ def pairwise_maps_pallas(
     )
 
     outs = pl.pallas_call(
-        _trrosetta_kernel,
+        _make_trrosetta_kernel(maps),
         name="trrosetta_pair_features",  # XProf-visible kernel name
         grid=grid,
         in_specs=[
@@ -348,12 +371,12 @@ def pairwise_maps_pallas(
             pl.BlockSpec((1, 12, tile_j), lambda b, i, j: (b, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[out_spec] * 6,
+        out_specs=[out_spec] * len(maps),
         out_shape=out_shape,
         interpret=interpret,
     )(fi, fj)
 
-    return {k: v[:, :Li, :Lj] for k, v in zip(_MAP_NAMES, outs)}
+    return {k: v[:, :Li, :Lj] for k, v in zip(maps, outs)}
 
 
 def trrosetta_features(
