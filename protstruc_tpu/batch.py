@@ -27,6 +27,7 @@ TPU-first redesign of the reference ``StructureBatch``
 
 from __future__ import annotations
 
+import math
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import flax.struct
@@ -275,7 +276,7 @@ class StructureBatch:
         seqs: Union[str, List[str]],
         phi: float = -2.094,
         psi: float = 2.094,
-        omega: float = 3.1415,
+        omega: float = math.pi,
     ) -> "StructureBatch":
         """Initialize extended-chain backbones from amino-acid sequences.
 

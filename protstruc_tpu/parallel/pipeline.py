@@ -42,7 +42,10 @@ def pipeline_forward(
         stage_fn: ``(params_one_stage, activation) -> activation`` where the
             activation is an array or pytree of arrays ``(mb, ...)``; its
             structure and shapes must be identical for every stage (they
-            flow device-to-device).
+            flow device-to-device).  Activations must be floating-point:
+            the schedule initializes them with ``zeros_like`` and reduces
+            the emitted outputs with ``psum`` over the pp axis, so integer
+            or boolean activations are not supported.
         stage_params: pytree with leading axis S == mesh.shape[axis].
         x: microbatched input — array or pytree with leading ``(M, mb, ...)``.
         mesh: mesh containing ``axis``.
