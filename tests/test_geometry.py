@@ -170,8 +170,20 @@ def test_masked_kabsch_batched_vmap():
     np.testing.assert_allclose(t, jnp.ones((4, 3)), atol=1e-5)
 
 
-def test_fix_chirality_mirrors_z():
-    coords = jnp.ones((3, 10, 3))
+def test_fix_chirality_conditional_mirror():
+    """Right-handed backbones pass through; their mirror image gets flipped
+    back (divergence from the reference's unconditional mirror — see
+    geometry.fix_chirality docstring)."""
+    from protstruc_tpu.ops.nerf import backbone_from_dihedrals
+
+    # fold a natural alpha-helical backbone: phi=-57deg, psi=-47deg
+    tor = np.tile(np.array([-1.0, -0.82, np.pi], np.float32), (1, 12, 1))
+    xyz4 = np.asarray(backbone_from_dihedrals(jnp.asarray(tor)))[0]
+    coords = jnp.asarray(np.stack([xyz4[:, 0], xyz4[:, 1], xyz4[:, 2]]))
+
     out = geom.fix_chirality(coords)
-    np.testing.assert_allclose(out[..., 2], -coords[..., 2])
-    np.testing.assert_allclose(out[..., :2], coords[..., :2])
+    np.testing.assert_allclose(out, coords, atol=1e-6)  # already right-handed
+
+    mirrored = coords * jnp.array([1.0, 1.0, -1.0])
+    fixed = geom.fix_chirality(mirrored)
+    np.testing.assert_allclose(fixed, coords, atol=1e-6)  # flipped back
