@@ -115,19 +115,20 @@ def parse_atom_records_native(data: bytes):
     if n == 0:
         raise ValueError("no ATOM/HETATM records found")
 
-    def to_str(arr, w):
-        return (
-            np.char.strip(arr[: n * w].view(f"S{w}").astype(f"U{w}"))
-            if w > 1
-            else arr[:n].view("S1").astype("U1")
-        )
+    # Byte-string (S) dtype end to end: the whole atom-level pipeline
+    # (_tidy/_lookup_slots/grouping) runs on S arrays, and unicode
+    # conversion happens only at residue level in _build_structure — the
+    # per-atom astype(U) conversions were the parse hot spot (~33%).
+    def to_s(arr, w):
+        v = arr[: n * w].view(f"S{w}")
+        return np.char.strip(v) if w > 1 else v
 
     return {
-        "atom_name": to_str(atom_name, 4),
-        "altloc": altloc[:n].view("S1").astype("U1"),
-        "res_name": to_str(res_name, 3),
-        "chain_id": np.char.strip(chain[:n].view("S1").astype("U1")),
+        "atom_name": to_s(atom_name, 4),
+        "altloc": altloc[:n].view("S1"),
+        "res_name": to_s(res_name, 3),
+        "chain_id": np.char.strip(chain[:n].view("S1")),
         "res_num": res_num[:n].copy(),
-        "icode": np.char.strip(icode[:n].view("S1").astype("U1")),
+        "icode": np.char.strip(icode[:n].view("S1")),
         "xyz": xyz[:n].copy(),
     }

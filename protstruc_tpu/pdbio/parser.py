@@ -44,12 +44,16 @@ __all__ = ["ParsedStructure", "parse_pdb", "parse_pdb_files"]
 
 _STANDARD_ATOMS = frozenset(standard_heavy_atom_names)
 _CANONICAL = frozenset(standard_aa_names)
+_STANDARD_ATOM_ARR = np.sort(np.array(sorted(_STANDARD_ATOMS), dtype="S4"))
+_CANONICAL_ARR = np.sort(np.array(sorted(_CANONICAL), dtype="S3"))
 
 # vectorized (res_name, atom_name) -> slot lookup via sorted-key searchsorted
+# (byte-string keys: the whole atom-level pipeline runs on S dtype)
 _SLOT_KEYS, _SLOT_VALS = (lambda items: (
-    np.array([k for k, _ in items]), np.array([v for _, v in items], np.int64)
+    np.array([k for k, _ in items], dtype="S8"),
+    np.array([v for _, v in items], np.int64),
 ))(sorted(
-    (f"{res}|{atom}", slot)
+    (f"{res}|{atom}".encode(), slot)
     for res, table in HEAVY_ATOM_SLOT.items()
     for atom, slot in table.items()
 ))
@@ -57,8 +61,8 @@ _SLOT_KEYS, _SLOT_VALS = (lambda items: (
 
 def _lookup_slots(res_name: np.ndarray, atom_name: np.ndarray) -> np.ndarray:
     """Slot index per atom record, -1 where the atom is foreign to its residue."""
-    query = np.char.add(np.char.add(res_name.astype("U3"), "|"), atom_name)
-    idx = np.searchsorted(_SLOT_KEYS, query)
+    query = np.char.add(np.char.add(res_name.astype("S3"), b"|"), atom_name)
+    idx = np.searchsorted(_SLOT_KEYS, query.astype("S8"))
     idx = np.clip(idx, 0, len(_SLOT_KEYS) - 1)
     ok = _SLOT_KEYS[idx] == query
     return np.where(ok, _SLOT_VALS[idx], -1)
@@ -147,20 +151,18 @@ def _parse_atom_records(lines: List[bytes]):
 
     chars = buf.view("S1")
 
+    # byte-string (S) columns — no per-atom unicode conversion (see
+    # native.py: unicode happens once per residue in _build_structure)
     def col_str(a, b):
-        return (
-            chars[:, a:b].view(f"S{b - a}").reshape(n).astype("U%d" % (b - a))
-        )
+        return chars[:, a:b].view(f"S{b - a}").reshape(n)
 
     atom_name = np.char.strip(col_str(12, 16))
     altloc = col_str(16, 17)
     res_name = np.char.strip(col_str(17, 20))
     chain_id = np.char.strip(col_str(21, 22))
-    res_num = col_str(22, 26).astype("U4")
     icode = np.char.strip(col_str(26, 27))
 
-    res_num = np.char.strip(res_num)
-    res_num_i = res_num.astype(np.int32)
+    res_num_i = np.char.strip(col_str(22, 26)).astype(np.int32)
 
     xyz = np.stack(
         [
@@ -183,32 +185,45 @@ def _parse_atom_records(lines: List[bytes]):
 
 
 def _tidy(rec):
-    """Substitute non-standard residues, keep canonical AAs + standard atoms."""
-    res_name = rec["res_name"]
-    subst = np.array(
-        [non_standard_residue_substitutions.get(r, r) for r in res_name]
+    """Substitute non-standard residues, keep canonical AAs + standard atoms.
+
+    All lookups run at unique-value level (a structure has ~20-160 distinct
+    residue/atom names vs 10^4-10^5 atoms), so this is O(atoms) numpy
+    indexing, not O(atoms) Python dict calls.
+    """
+    uniq_res, inv_res = np.unique(rec["res_name"], return_inverse=True)
+    subst_uniq = np.array(
+        [
+            non_standard_residue_substitutions.get(r.decode(), r.decode())
+            for r in uniq_res
+        ],
+        dtype="S3",
     )
-    keep = np.isin(subst, list(_CANONICAL)) & np.isin(
-        rec["atom_name"], list(_STANDARD_ATOMS)
-    )
+    res_ok = np.isin(subst_uniq, _CANONICAL_ARR)[inv_res]
+
+    uniq_atom, inv_atom = np.unique(rec["atom_name"], return_inverse=True)
+    atom_ok = np.isin(uniq_atom, _STANDARD_ATOM_ARR)[inv_atom]
+
+    keep = res_ok & atom_ok
     out = {k: v[keep] for k, v in rec.items()}
-    out["res_name"] = subst[keep]
+    out["res_name"] = subst_uniq[inv_res][keep]
     return out
 
 
 def _filter_first_altloc(rec):
     """Per residue, keep blank-altloc atoms plus the first altloc id seen."""
     altloc = rec["altloc"]
-    if not np.any((altloc != " ") & (altloc != "")):
+    if not np.any((altloc != b" ") & (altloc != b"")):
         return rec
 
     res_key = np.stack(
-        [rec["chain_id"], rec["res_num"].astype("U8"), rec["icode"]], axis=1
+        [rec["chain_id"].astype("S8"), rec["res_num"].astype("S8"),
+         rec["icode"].astype("S8")], axis=1,
     )
     keep = np.ones(len(altloc), dtype=bool)
-    first_by_res: Dict[tuple, str] = {}
+    first_by_res: Dict[tuple, bytes] = {}
     for i, al in enumerate(altloc):
-        if al in (" ", ""):
+        if al in (b" ", b""):
             continue
         key = tuple(res_key[i])
         chosen = first_by_res.setdefault(key, al)
@@ -240,6 +255,9 @@ def parse_pdb(
 
     if looks_like_cif(data):
         rec = parse_atom_records_cif(data)
+        # normalize to the byte-string dtype regime of the PDB scanners
+        for k in ("atom_name", "altloc", "res_name", "chain_id", "icode"):
+            rec[k] = np.char.encode(rec[k], "ascii")
     else:
         rec = None
         if use_native:
@@ -258,12 +276,12 @@ def parse_pdb(
     rec = _tidy(rec)
 
     if chains is not None:
-        keep = np.isin(rec["chain_id"], list(chains))
+        keep = np.isin(rec["chain_id"], [str(c).encode() for c in chains])
         rec = {k: v[keep] for k, v in rec.items()}
     if residue_range_by_chain:
         keep = np.ones(len(rec["chain_id"]), dtype=bool)
         for cid, (lo, hi) in residue_range_by_chain.items():
-            on_chain = rec["chain_id"] == cid
+            on_chain = rec["chain_id"] == str(cid).encode()
             keep &= ~on_chain | ((rec["res_num"] >= lo) & (rec["res_num"] <= hi))
         rec = {k: v[keep] for k, v in rec.items()}
 
@@ -290,49 +308,63 @@ def _build_structure(rec) -> ParsedStructure:
     )
     group_starts = np.flatnonzero(change)
 
-    # residue walk with intra-chain gap filling (pdb.py:82-120)
-    res_chain: List[str] = []
-    res_number: List[int] = []
-    res_icode: List[str] = []
-    res_one: List[str] = []
-    group_internal_idx = np.empty(len(group_starts), dtype=np.int64)
+    # Residue walk with intra-chain gap filling (pdb.py:82-120), fully
+    # vectorized: gap counts via a shifted compare, row offsets via prefix
+    # sums, filled UNK rows constructed with repeat/arange arithmetic.
+    G = len(group_starts)
+    # unicode conversion happens here, at residue level (G rows, not atoms)
+    cid_g = chain_id[group_starts].astype("U4")
+    num_g = res_num[group_starts].astype(np.int64)
+    ic_g = icode[group_starts].astype("U1")
 
-    idx = 0
-    curr_chain = None
-    curr_number = None
-    for g, start in enumerate(group_starts):
-        cid = str(chain_id[start])
-        num = int(res_num[start])
-        ic = str(icode[start])
-        one = AA(res_name[start]).oneletter()
+    # one-letter codes at unique-residue-name level (<= 21 uniques)
+    uniq_res, inv_res = np.unique(res_name[group_starts], return_inverse=True)
+    one_uniq = np.array([AA(r.decode()).oneletter() for r in uniq_res])
+    one_g = one_uniq[inv_res]
 
-        if curr_chain is None or curr_chain != cid:
-            curr_chain = cid
-            curr_number = num
+    # UNK dummies inserted before group g for forward numbering jumps
+    # within a chain (never at a chain start / backward jump / icode twin)
+    gap = np.zeros(G, dtype=np.int64)
+    same_chain = cid_g[1:] == cid_g[:-1]
+    gap[1:] = np.where(same_chain, np.maximum(num_g[1:] - num_g[:-1] - 1, 0), 0)
 
-        while curr_number + 1 < num:
-            res_chain.append(curr_chain)
-            res_number.append(curr_number + 1)
-            res_icode.append(ic)
-            res_one.append("X")
-            curr_number += 1
-            idx += 1
+    rows_before = np.concatenate([[0], np.cumsum(1 + gap)[:-1]])
+    group_internal_idx = rows_before + gap
+    L = int(rows_before[-1] + gap[-1] + 1) if G else 0
 
-        res_chain.append(cid)
-        res_number.append(num)
-        res_icode.append(ic)
-        res_one.append(one)
-        group_internal_idx[g] = idx
+    chain_arr = np.empty(L, dtype=cid_g.dtype)
+    res_number = np.empty(L, dtype=np.int64)
+    res_icode = np.empty(L, dtype=ic_g.dtype)
+    res_one = np.full(L, "X", dtype=one_g.dtype)
+    chain_arr[group_internal_idx] = cid_g
+    res_number[group_internal_idx] = num_g
+    res_icode[group_internal_idx] = ic_g
+    res_one[group_internal_idx] = one_g
 
-        curr_chain = cid
-        curr_number = num
-        idx += 1
+    filled = gap > 0
+    if filled.any():
+        reps = gap[filled]
+        # per-fill-row offset 0..reps_g-1 within its group's gap run
+        local = np.arange(reps.sum()) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+        )
+        fill_pos = np.repeat(rows_before[filled], reps) + local
+        chain_arr[fill_pos] = np.repeat(cid_g[filled], reps)
+        # numbering continues from the previous group's author number
+        prev_num = np.empty(G, dtype=np.int64)
+        prev_num[1:] = num_g[:-1]
+        res_number[fill_pos] = np.repeat(prev_num[filled] + 1, reps) + local
+        res_icode[fill_pos] = np.repeat(ic_g[filled], reps)
 
-    L = idx
-    chain_arr = np.array(res_chain)
-    chain_order = list(dict.fromkeys(res_chain))
-    code_of = {c: i for i, c in enumerate(chain_order)}
-    chain_idx = np.array([code_of[c] for c in res_chain], dtype=np.int32)
+    # first-appearance chain codes (pdb.py:123-125)
+    uniq_c, first_idx, inv_c = np.unique(
+        chain_arr, return_index=True, return_inverse=True
+    )
+    order = np.argsort(first_idx)
+    rank = np.empty(len(uniq_c), dtype=np.int32)
+    rank[order] = np.arange(len(uniq_c), dtype=np.int32)
+    chain_idx = rank[inv_c]
+    chain_order = [str(c) for c in uniq_c[order]]
 
     # per-atom (residue internal index, slot) then vectorized scatter
     group_of_atom = np.cumsum(change) - 1

@@ -63,7 +63,7 @@ def test_native_multimodel_takes_first():
     )
     rec = parse_atom_records_native(text.encode())
     assert len(rec["res_name"]) == 1
-    assert rec["res_name"][0] == "ALA"
+    assert rec["res_name"][0] == b"ALA"  # atom-level fields are byte strings
 
 
 def test_native_is_faster():
