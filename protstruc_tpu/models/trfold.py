@@ -171,33 +171,52 @@ class TrFoldBlock(nn.Module):
 
 
 class TrFold(nn.Module):
-    """6D geometry + sequence -> distogram logits + torsion predictions."""
+    """6D geometry + sequence -> distogram logits + torsion predictions.
+
+    ``setup``-style so the embed / block-stack / heads phases are separately
+    callable (``method=TrFold.embed`` etc.) — the hook the pipeline-parallel
+    apply (:func:`pipeline_apply`) uses to run blocks as 'pp' stages.  Module
+    names match the original flat layout, so the param tree is unchanged.
+    """
 
     cfg: TrFoldConfig = TrFoldConfig()
 
-    @nn.compact
-    def __call__(self, feats: Dict[str, jnp.ndarray]):
+    def setup(self):
         cfg = self.cfg
-        mask = feats["residue_mask"]
+        self.seq_embed = nn.Embed(cfg.vocab, cfg.node_dim, dtype=cfg.dtype)
+        self.torsion_embed = nn.Dense(cfg.node_dim, dtype=cfg.dtype)
+        self.dist_embed = nn.Embed(cfg.n_dist_bins, cfg.pair_dim, dtype=cfg.dtype)
+        self.ang_embed = nn.Dense(cfg.pair_dim, dtype=cfg.dtype)
+        self.relpos_embed = nn.Embed(2 * cfg.relpos_clip + 2, cfg.pair_dim,
+                                     dtype=cfg.dtype)
+        self.blocks = [
+            TrFoldBlock(cfg, name=f"block_{i}") for i in range(cfg.n_blocks)
+        ]
+        self.distogram_head = nn.Dense(cfg.n_dist_bins, dtype=jnp.float32)
+        self.torsion_head = nn.Dense(6, dtype=jnp.float32)
+        self.omega_head = nn.Dense(2, dtype=jnp.float32)
+        self.theta_head = nn.Dense(2, dtype=jnp.float32)
+        self.phi_head = nn.Dense(2, dtype=jnp.float32)
+
+    def embed(self, feats: Dict[str, jnp.ndarray]):
+        """Feature dict -> initial (node, pair) representations."""
+        cfg = self.cfg
 
         # node embedding: sequence + torsion sin/cos
-        node = nn.Embed(cfg.vocab, cfg.node_dim, name="seq_embed", dtype=cfg.dtype)(
-            feats["seq_idx"]
-        )
+        node = self.seq_embed(feats["seq_idx"])
         tor = jnp.concatenate(
             [jnp.sin(feats["torsions"]), jnp.cos(feats["torsions"])], axis=-1
         )
         tor = jnp.where(
             jnp.repeat(feats["torsion_mask"], 2, axis=-1), tor, 0.0
         ).astype(cfg.dtype)
-        node = node + nn.Dense(cfg.node_dim, name="torsion_embed", dtype=cfg.dtype)(tor)
+        node = node + self.torsion_embed(tor)
 
         # pair embedding: binned distance + angular sin/cos maps
         from protstruc_tpu.ops.histogram import distogram_bins
 
         bins = distogram_bins(feats["d_cb"], cfg.n_dist_bins, cfg.max_dist)
-        pair = nn.Embed(cfg.n_dist_bins, cfg.pair_dim, name="dist_embed",
-                        dtype=cfg.dtype)(bins)
+        pair = self.dist_embed(bins)
         ang = jnp.stack(
             [
                 jnp.sin(feats["omega"]), jnp.cos(feats["omega"]),
@@ -208,7 +227,7 @@ class TrFold(nn.Module):
         )
         ang = jnp.nan_to_num(ang, nan=0.0).astype(cfg.dtype)
         ang = jnp.where(feats["pair_mask"][..., None], ang, 0.0)
-        pair = pair + nn.Dense(cfg.pair_dim, name="ang_embed", dtype=cfg.dtype)(ang)
+        pair = pair + self.ang_embed(ang)
 
         # AF2-style relative position: clipped sequence offset, bucketed with
         # a dedicated "different chain" class when chain indices are given
@@ -219,31 +238,36 @@ class TrFold(nn.Module):
         if "chain_idx" in feats:
             cross = feats["chain_idx"][:, :, None] != feats["chain_idx"][:, None, :]
             clipped = jnp.where(cross, n_rel - 1, clipped)
-        pair = pair + nn.Embed(n_rel, cfg.pair_dim, name="relpos_embed",
-                               dtype=cfg.dtype)(clipped)
+        pair = pair + self.relpos_embed(clipped)
+        return node, pair
 
-        moe_aux = 0.0
-        for i in range(cfg.n_blocks):
-            node, pair, aux = TrFoldBlock(cfg, name=f"block_{i}")(node, pair, mask)
-            moe_aux = moe_aux + aux
-
+    def heads(self, node, pair):
+        """Final (node, pair) -> prediction heads."""
         pair_sym = pair + jnp.swapaxes(pair, 1, 2)
-        distogram = nn.Dense(cfg.n_dist_bins, name="distogram_head",
-                             dtype=jnp.float32)(pair_sym)
-        torsions = nn.Dense(6, name="torsion_head", dtype=jnp.float32)(node)
+        distogram = self.distogram_head(pair_sym)
+        torsions = self.torsion_head(node)
         # the remaining trRosetta 6D heads: omega is symmetric, theta/phi are
         # directional — each predicted as (sin, cos) pairs
-        omega_sc = nn.Dense(2, name="omega_head", dtype=jnp.float32)(pair_sym)
-        theta_sc = nn.Dense(2, name="theta_head", dtype=jnp.float32)(pair)
-        phi_sc = nn.Dense(2, name="phi_head", dtype=jnp.float32)(pair)
         return {
             "distogram_logits": distogram,
             "torsion_sincos": torsions.reshape(torsions.shape[:-1] + (3, 2)),
-            "omega_sincos": omega_sc,
-            "theta_sincos": theta_sc,
-            "phi_sincos": phi_sc,
-            "moe_aux_loss": jnp.asarray(moe_aux, jnp.float32),
+            "omega_sincos": self.omega_head(pair_sym),
+            "theta_sincos": self.theta_head(pair),
+            "phi_sincos": self.phi_head(pair),
         }
+
+    def __call__(self, feats: Dict[str, jnp.ndarray]):
+        mask = feats["residue_mask"]
+        node, pair = self.embed(feats)
+
+        moe_aux = 0.0
+        for block in self.blocks:
+            node, pair, aux = block(node, pair, mask)
+            moe_aux = moe_aux + aux
+
+        out = self.heads(node, pair)
+        out["moe_aux_loss"] = jnp.asarray(moe_aux, jnp.float32)
+        return out
 
 
 class DiffusionDenoiser(nn.Module):
@@ -318,6 +342,63 @@ def loss_fn(params, model: TrFold, feats: Dict[str, jnp.ndarray]) -> jnp.ndarray
         pair_loss = pair_loss + jnp.sum(err) / jnp.maximum(jnp.sum(ok), 1.0)
 
     return ce + mse + pair_loss + cfg.moe_aux_weight * out["moe_aux_loss"]
+
+
+def pipeline_apply(params, model: TrFold, feats, mesh, n_microbatches: int = None):
+    """Forward TrFold with its blocks as GPipe pipeline stages over 'pp'.
+
+    The pp leg integrated into the flagship model (round-1 deferred item):
+    embeddings and heads run replicated; the ``n_blocks`` TrFoldBlocks run
+    one-per-device via :func:`parallel.pipeline.pipeline_forward`, with the
+    batch split into ``n_microbatches`` microbatches (default: pipeline
+    depth).  Requires ``cfg.n_blocks == mesh.shape['pp']``, ``B`` divisible
+    by the microbatch count, and dense blocks (``moe_experts == 0`` — the
+    MoE aux loss cannot ride the activation rotation, which is float-only).
+
+    Numerically identical to ``model.apply`` (same blocks, same order);
+    tested against it in tests/test_pipeline_moe.py.
+    """
+    from protstruc_tpu.parallel.pipeline import pipeline_forward, stack_stage_params
+
+    cfg = model.cfg
+    S = mesh.shape["pp"]
+    if cfg.n_blocks != S:
+        raise ValueError(f"n_blocks {cfg.n_blocks} != pp axis size {S}")
+    if cfg.moe_experts > 0:
+        raise ValueError("pipeline_apply supports dense blocks only")
+
+    B = feats["seq_idx"].shape[0]
+    M = n_microbatches or min(S, B)
+    if B % M:
+        raise ValueError(f"batch {B} not divisible into {M} microbatches")
+
+    node, pair = model.apply({"params": params}, feats, method=TrFold.embed)
+    mask = feats["residue_mask"]
+
+    stages = stack_stage_params([params[f"block_{i}"] for i in range(S)])
+    block = TrFoldBlock(cfg)
+
+    def stage_fn(p, act):
+        n, pr, aux = block.apply(
+            {"params": p}, act["node"], act["pair"], act["mask"] > 0.5
+        )
+        return {"node": n, "pair": pr, "mask": act["mask"]}
+
+    def mb(x):  # (B, ...) -> (M, B/M, ...)
+        return x.reshape((M, B // M) + x.shape[1:])
+
+    acts = {
+        "node": mb(node),
+        "pair": mb(pair),
+        "mask": mb(mask.astype(node.dtype)),
+    }
+    out = pipeline_forward(stage_fn, stages, acts, mesh)
+    node = out["node"].reshape((B,) + out["node"].shape[2:])
+    pair = out["pair"].reshape((B,) + out["pair"].shape[2:])
+
+    result = model.apply({"params": params}, node, pair, method=TrFold.heads)
+    result["moe_aux_loss"] = jnp.zeros((), jnp.float32)
+    return result
 
 
 def make_train_state(

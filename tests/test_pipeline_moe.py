@@ -96,6 +96,57 @@ def test_pipelined_trfold_blocks():
     )
 
 
+def test_pipeline_apply_matches_plain_forward():
+    """The full-model pipeline path (embed -> pp block stages -> heads) is
+    numerically identical to TrFold.apply."""
+    import protstruc_tpu as ps
+    from protstruc_tpu.models.trfold import (
+        TrFold, TrFoldConfig, featurize_for_model, pipeline_apply)
+
+    S = 4
+    cfg = TrFoldConfig(node_dim=16, pair_dim=8, n_heads=2, n_blocks=S)
+    model = TrFold(cfg)
+
+    rng = np.random.RandomState(0)
+    xyz = rng.randn(4, 16, 15, 3).astype(np.float32) * 5.0
+    sb = ps.StructureBatch.from_xyz(xyz)
+    feats = featurize_for_model(sb)
+    params = model.init(jax.random.PRNGKey(0), feats)["params"]
+
+    ref = model.apply({"params": params}, feats)
+    out = pipeline_apply(params, model, feats, _pp_mesh(S))
+
+    for k in ref:
+        if k == "moe_aux_loss":
+            continue
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), atol=2e-4, err_msg=k
+        )
+
+    # trains: gradient through the whole pipelined schedule is finite
+    def loss(p):
+        o = pipeline_apply(p, model, feats, _pp_mesh(S))
+        return jnp.sum(o["distogram_logits"] ** 2) / 1e3
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
+def test_pipeline_apply_validates_config():
+    import protstruc_tpu as ps
+    from protstruc_tpu.models.trfold import (
+        TrFold, TrFoldConfig, featurize_for_model, pipeline_apply)
+
+    cfg = TrFoldConfig(node_dim=16, pair_dim=8, n_heads=2, n_blocks=3)
+    model = TrFold(cfg)
+    xyz = np.random.RandomState(0).randn(2, 8, 15, 3).astype(np.float32)
+    feats = featurize_for_model(ps.StructureBatch.from_xyz(xyz))
+    params = model.init(jax.random.PRNGKey(0), feats)["params"]
+    with pytest.raises(ValueError, match="n_blocks"):
+        pipeline_apply(params, model, feats, _pp_mesh(2))
+
+
 def test_moe_forward_and_balance():
     B, L, D = 2, 32, 16
     model = MoEMLP(n_experts=4, hidden_dim=32)
