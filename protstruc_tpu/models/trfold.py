@@ -56,6 +56,14 @@ class TrFoldConfig:
     dtype: Any = jnp.float32  # set jnp.bfloat16 for MXU-native training
     moe_experts: int = 0      # > 0 replaces block MLPs with expert-parallel MoE
     moe_aux_weight: float = 1e-2
+    # Pre-norm pair residual stream (LayerNorm inside the PairUpdate branch,
+    # one final LN before the heads) instead of the original post-norm.
+    # Post-norm re-normalizes the pair stream every block, attenuating the
+    # identity path from the input distance embedding to the distogram head
+    # — the round-1 distogram plateau.  Measured on a one-batch overfit
+    # (experiments/distogram_plateau.py, 400 steps): top-1 0.74 / loss 1.62
+    # post-norm vs top-1 0.93 / loss 0.90 pre-norm.
+    pair_pre_norm: bool = True
 
 
 def featurize_for_model(batch, use_pallas: bool = False):
@@ -130,16 +138,23 @@ class PairUpdate(nn.Module):
         b = nn.Dense(cfg.pair_dim, name="outer_b", dtype=cfg.dtype)(node)
         pair = pair + a[:, :, None, :] * b[:, None, :, :]
 
-        g_row = nn.sigmoid(nn.Dense(cfg.pair_dim, name="gate_row", dtype=cfg.dtype)(pair))
-        g_col = nn.sigmoid(nn.Dense(cfg.pair_dim, name="gate_col", dtype=cfg.dtype)(pair))
+        # pre-norm (default): normalize only the mixing branch's input so the
+        # residual stream carries the input pair embedding to the heads
+        # unattenuated (see TrFoldConfig.pair_pre_norm)
+        src = nn.LayerNorm(dtype=cfg.dtype)(pair) if cfg.pair_pre_norm else pair
+
+        g_row = nn.sigmoid(nn.Dense(cfg.pair_dim, name="gate_row", dtype=cfg.dtype)(src))
+        g_col = nn.sigmoid(nn.Dense(cfg.pair_dim, name="gate_col", dtype=cfg.dtype)(src))
         m = mask.astype(cfg.dtype)
-        pm = pair * (m[:, :, None, None] * m[:, None, :, None])
+        pm = src * (m[:, :, None, None] * m[:, None, :, None])
         denom = jnp.maximum(jnp.sum(m, axis=1), 1.0)[:, None, None, None]
         row_ctx = jnp.einsum("bikc,bkjc->bijc", g_row * pm, pm) / denom
         col_ctx = jnp.einsum("bkic,bkjc->bijc", g_col * pm, pm) / denom
         mix = nn.Dense(cfg.pair_dim, name="mix", dtype=cfg.dtype)(
             jnp.concatenate([row_ctx, col_ctx], axis=-1)
         )
+        if cfg.pair_pre_norm:
+            return pair + mix
         return nn.LayerNorm(dtype=cfg.dtype)(pair + mix)
 
 
@@ -192,6 +207,10 @@ class TrFold(nn.Module):
         self.blocks = [
             TrFoldBlock(cfg, name=f"block_{i}") for i in range(cfg.n_blocks)
         ]
+        if cfg.pair_pre_norm:
+            # pre-norm stream: one final normalization before the heads
+            self.final_node_norm = nn.LayerNorm(dtype=cfg.dtype)
+            self.final_pair_norm = nn.LayerNorm(dtype=cfg.dtype)
         self.distogram_head = nn.Dense(cfg.n_dist_bins, dtype=jnp.float32)
         self.torsion_head = nn.Dense(6, dtype=jnp.float32)
         self.omega_head = nn.Dense(2, dtype=jnp.float32)
@@ -243,6 +262,9 @@ class TrFold(nn.Module):
 
     def heads(self, node, pair):
         """Final (node, pair) -> prediction heads."""
+        if self.cfg.pair_pre_norm:
+            node = self.final_node_norm(node)
+            pair = self.final_pair_norm(pair)
         pair_sym = pair + jnp.swapaxes(pair, 1, 2)
         distogram = self.distogram_head(pair_sym)
         torsions = self.torsion_head(node)
