@@ -342,6 +342,28 @@ def run_configs(rtt):
         f"-> {1024/dt:.0f} structures/s")
 
 
+def run_model_fused_diag(rtt):
+    """Time the fused model-featurization kernel (bins + angle sincos).
+
+    Not the headline (different outputs — it's the training-ingest fast
+    path: 16 B/pair vs the raw maps' 24 B/pair, no atan2, no second
+    sin/cos pass); stderr diagnostic only.
+    """
+    from protstruc_tpu.ops.pallas_pairwise import model_features_pallas
+
+    xyz, _, _ = make_inputs(jax.random.PRNGKey(0))
+    interp = jax.default_backend() != "tpu"
+
+    @jax.jit
+    def fn(xyz):
+        bins, ang = model_features_pallas(xyz, interpret=interp)
+        return bins, ang, ang[0, 0, 0, 1].astype(jnp.float32) + bins[0, 0, 1]
+
+    dt = _time_call(fn, xyz, rtt=rtt)
+    log(f"[model-fused] bins+sincos featurization: {dt*1e3:.1f} ms/batch "
+        f"-> {B/dt:.0f} structures/s")
+
+
 def run_sharded_diag(rtt):
     """Time the sequence-parallel shard_map+Pallas path on the live backend.
 
@@ -382,10 +404,12 @@ def main():
 
     if "--configs" in _sys.argv:
         run_configs(rtt)
-        try:
-            run_sharded_diag(rtt)
-        except Exception as e:
-            log(f"[sp-shard] FAILED: {type(e).__name__}: {e}")
+        for diag, name in [(run_sharded_diag, "sp-shard"),
+                           (run_model_fused_diag, "model-fused")]:
+            try:
+                diag(rtt)
+            except Exception as e:
+                log(f"[{name}] FAILED: {type(e).__name__}: {e}")
 
     results = {}
     for name, fn in [

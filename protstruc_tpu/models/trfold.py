@@ -66,34 +66,66 @@ class TrFoldConfig:
     pair_pre_norm: bool = True
 
 
-def featurize_for_model(batch, use_pallas: bool = False):
+def featurize_for_model(batch, use_pallas: bool = False, fused: bool = False,
+                        n_dist_bins: int = 36, max_dist: float = 20.0,
+                        ang_dtype=jnp.bfloat16):
     """StructureBatch -> model inputs (seq_idx, torsions, pair features, masks).
 
     Real structures have residues with missing backbone atoms whose torsions
     are NaN even where the (terminal-only) dihedral mask is True
     (protstruc.py:502-503 documents the same limitation); the mask is
     tightened here so NaNs never reach the model or the loss.
+
+    ``fused=True`` is the training-ingest fast path: one Pallas kernel emits
+    ``d_cb_bins`` (already binned, int32) and ``ang_sincos`` (bf16
+    ``(B, L, L, 6)`` [sin w, cos w, sin t, cos t, sin phi, cos phi]) — no
+    raw angle maps, no atan2, no second sin/cos pass.  ``n_dist_bins`` /
+    ``max_dist`` must match the model config.  Both layouts are accepted by
+    ``TrFold`` and ``loss_fn``.
     """
-    g = batch.inter_residue_geometry(use_pallas=use_pallas)
+    from protstruc_tpu.vocab import ATOM
+
     torsions, torsion_mask = batch.backbone_dihedrals()
     torsion_mask = torsion_mask & jnp.isfinite(torsions)
     torsions = jnp.nan_to_num(torsions, nan=0.0)
-    pair_mask = g["d_cb_mask"] & jnp.isfinite(g["d_cb"])
     seq_idx = batch.get_seq_idx() if batch.seq is not None else jnp.zeros(
         batch.chain_idx.shape, jnp.int32
     )
-    return {
+    common = {
         "seq_idx": seq_idx,
         "torsions": torsions,
         "torsion_mask": torsion_mask,
-        "d_cb": g["d_cb"],
-        "omega": g["omega"],
-        "theta": g["theta"],
-        "phi": g["phi"],
-        "pair_mask": pair_mask,
         "residue_mask": batch.residue_mask,
         "chain_idx": batch.chain_idx,
     }
+
+    if fused:
+        from protstruc_tpu.ops.pallas_pairwise import model_features_pallas
+
+        bins, ang = model_features_pallas(
+            batch.xyz, n_bins=n_dist_bins, max_dist=max_dist,
+            interpret=jax.default_backend() != "tpu", ang_dtype=ang_dtype,
+        )
+        cb_ok = (
+            batch.atom_mask[:, :, int(ATOM.CB)]
+            & jnp.isfinite(batch.xyz[:, :, int(ATOM.CB)]).all(-1)
+        )
+        common.update(
+            d_cb_bins=bins,
+            ang_sincos=jnp.moveaxis(ang, 1, -1),
+            pair_mask=cb_ok[:, :, None] & cb_ok[:, None, :],
+        )
+        return common
+
+    g = batch.inter_residue_geometry(use_pallas=use_pallas)
+    common.update(
+        d_cb=g["d_cb"],
+        omega=g["omega"],
+        theta=g["theta"],
+        phi=g["phi"],
+        pair_mask=g["d_cb_mask"] & jnp.isfinite(g["d_cb"]),
+    )
+    return common
 
 
 class PairBiasAttention(nn.Module):
@@ -231,20 +263,25 @@ class TrFold(nn.Module):
         ).astype(cfg.dtype)
         node = node + self.torsion_embed(tor)
 
-        # pair embedding: binned distance + angular sin/cos maps
-        from protstruc_tpu.ops.histogram import distogram_bins
+        # pair embedding: binned distance + angular sin/cos maps (either the
+        # fused-kernel precomputed form or derived from raw angle maps)
+        if "d_cb_bins" in feats:
+            bins = feats["d_cb_bins"]
+            ang = feats["ang_sincos"].astype(cfg.dtype)
+        else:
+            from protstruc_tpu.ops.histogram import distogram_bins
 
-        bins = distogram_bins(feats["d_cb"], cfg.n_dist_bins, cfg.max_dist)
+            bins = distogram_bins(feats["d_cb"], cfg.n_dist_bins, cfg.max_dist)
+            ang = jnp.stack(
+                [
+                    jnp.sin(feats["omega"]), jnp.cos(feats["omega"]),
+                    jnp.sin(feats["theta"]), jnp.cos(feats["theta"]),
+                    jnp.sin(feats["phi"]), jnp.cos(feats["phi"]),
+                ],
+                axis=-1,
+            )
+            ang = jnp.nan_to_num(ang, nan=0.0).astype(cfg.dtype)
         pair = self.dist_embed(bins)
-        ang = jnp.stack(
-            [
-                jnp.sin(feats["omega"]), jnp.cos(feats["omega"]),
-                jnp.sin(feats["theta"]), jnp.cos(feats["theta"]),
-                jnp.sin(feats["phi"]), jnp.cos(feats["phi"]),
-            ],
-            axis=-1,
-        )
-        ang = jnp.nan_to_num(ang, nan=0.0).astype(cfg.dtype)
         ang = jnp.where(feats["pair_mask"][..., None], ang, 0.0)
         pair = pair + self.ang_embed(ang)
 
@@ -340,7 +377,10 @@ def loss_fn(params, model: TrFold, feats: Dict[str, jnp.ndarray]) -> jnp.ndarray
     out = model.apply({"params": params}, feats)
     cfg = model.cfg
 
-    target_bins = distogram_bins(feats["d_cb"], cfg.n_dist_bins, cfg.max_dist)
+    if "d_cb_bins" in feats:
+        target_bins = feats["d_cb_bins"]
+    else:
+        target_bins = distogram_bins(feats["d_cb"], cfg.n_dist_bins, cfg.max_dist)
     logp = jax.nn.log_softmax(out["distogram_logits"], axis=-1)
     ce = -jnp.take_along_axis(logp, target_bins[..., None], axis=-1)[..., 0]
     pm = feats["pair_mask"]
@@ -353,13 +393,18 @@ def loss_fn(params, model: TrFold, feats: Dict[str, jnp.ndarray]) -> jnp.ndarray
     mse = jnp.sum(jnp.where(tm, (out["torsion_sincos"] - target_sc) ** 2, 0.0))
     mse = mse / jnp.maximum(jnp.sum(tm), 1.0)
 
-    # inter-residue angle heads (sin/cos MSE; NaN targets masked out)
+    # inter-residue angle heads (sin/cos MSE; NaN/invalid targets masked out)
     pair_loss = 0.0
-    for key in ("omega", "theta", "phi"):
-        tgt = feats[key]
-        ok = feats["pair_mask"] & jnp.isfinite(tgt)
-        t = jnp.nan_to_num(tgt, nan=0.0)
-        sc = jnp.stack([jnp.sin(t), jnp.cos(t)], axis=-1)
+    for i, key in enumerate(("omega", "theta", "phi")):
+        if "ang_sincos" in feats:
+            sc = feats["ang_sincos"][..., 2 * i : 2 * i + 2].astype(jnp.float32)
+            # invalid entries were emitted as (0, 0); valid ones are unit
+            ok = feats["pair_mask"] & (jnp.sum(sc**2, -1) > 0.5)
+        else:
+            tgt = feats[key]
+            ok = feats["pair_mask"] & jnp.isfinite(tgt)
+            t = jnp.nan_to_num(tgt, nan=0.0)
+            sc = jnp.stack([jnp.sin(t), jnp.cos(t)], axis=-1)
         err = jnp.where(ok[..., None], (out[f"{key}_sincos"] - sc) ** 2, 0.0)
         pair_loss = pair_loss + jnp.sum(err) / jnp.maximum(jnp.sum(ok), 1.0)
 
@@ -529,4 +574,7 @@ def feats_shardings(mesh: Mesh):
         "pair_mask": pair,
         "residue_mask": node,
         "chain_idx": node,
+        # fused-featurization layout (featurize_for_model(fused=True))
+        "d_cb_bins": pair,
+        "ang_sincos": NamedSharding(mesh, P("dp", "sp", None, None)),
     }

@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from protstruc_tpu.vocab import ATOM
 
-__all__ = ["trrosetta_features", "pairwise_maps_pallas"]
+__all__ = ["trrosetta_features", "pairwise_maps_pallas", "model_features_pallas"]
 
 # atom plane order inside the packed 12-row coordinate block
 _ATOMS = ("N", "CA", "CB", "O")
@@ -377,6 +377,156 @@ def pairwise_maps_pallas(
     )(fi, fj)
 
     return {k: v[:, :Li, :Lj] for k, v in zip(maps, outs)}
+
+
+def _make_model_kernel(n_bins: int, max_dist: float):
+    """Kernel emitting exactly what the TrFold embed/loss consume:
+
+    * ``bins``: int32 ``distogram_bins(d_cb)`` (NaN -> last bin), and
+    * ``ang``: one ``(6, TI, TJ)`` bf16 plane stack of
+      [sin w, cos w, sin t, cos t, sin phi, cos phi], degenerate pairs
+      pinned to the raw-map conventions (w/t = 0 -> (0, 1)) and NaN/missing
+      entries emitted as (0, 0) — the model's ``nan_to_num`` convention.
+
+    No atan2 at all: sin/cos of atan2(y, x) are just y*rsqrt(y^2+x^2) and
+    x*rsqrt(y^2+x^2), so this kernel drops the most expensive VPU work of
+    the raw-map kernel *and* the model's downstream sin/cos pass over
+    1.6 GB of raw maps (see guides/performance.md roofline).
+    """
+
+    def kernel(fi_ref, fj_ref, bins_ref, ang_ref):
+        fi = fi_ref[0]
+        fj = fj_ref[0]
+
+        def iv(atom, comp):
+            k = _AIDX[atom] * 3 + comp
+            return fi[:, k : k + 1]
+
+        def jv(atom, comp):
+            k = _AIDX[atom] * 3 + comp
+            return fj[k : k + 1, :]
+
+        def ivec(atom):
+            return (iv(atom, 0), iv(atom, 1), iv(atom, 2))
+
+        def jvec(atom):
+            return (jv(atom, 0), jv(atom, 1), jv(atom, 2))
+
+        n_i, ca_i, cb_i = ivec("N"), ivec("CA"), ivec("CB")
+        ca_j, cb_j = jvec("CA"), jvec("CB")
+
+        # d_cb -> distogram bins (ops/histogram.distogram_bins semantics)
+        d = _norm(_sub(cb_i, cb_j))
+        d = jnp.where(jnp.isnan(d), max_dist, d)
+        b = jnp.clip((d * (n_bins / max_dist)).astype(jnp.int32), 0, n_bins - 1)
+        bins_ref[0] = b
+
+        adt = ang_ref.dtype
+
+        def sincos_dihedral(a, bb, c, dd, deg):
+            b0, b1, b2 = _sub(a, bb), _sub(c, bb), _sub(dd, c)
+            n0 = _cross(b0, b1)
+            n1 = _cross(b2, b1)
+            x = _dot(n0, n1)
+            y = -jnp.sqrt(_dot(b1, b1)) * _dot(n0, b2)
+            r2 = x * x + y * y
+            inv = jax.lax.rsqrt(jnp.where(r2 > 0.0, r2, 1.0))
+            ok = (r2 > 0.0) & ~deg  # NaN r2 -> False -> (0, 0)
+            s = jnp.where(ok, y * inv, 0.0)
+            c_ = jnp.where(ok, x * inv, jnp.where(deg, 1.0, 0.0))
+            return s, c_
+
+        deg_o = (
+            (_eq3(ca_i, ca_j) & _eq3(cb_i, cb_j))
+            | _eq3(ca_j, cb_j)
+            | _eq3(ca_i, cb_i)
+        )
+        os_, oc_ = sincos_dihedral(ca_i, cb_i, ca_j, cb_j, deg_o)
+
+        deg_t = (
+            (_eq3(n_i, cb_i) & _eq3(ca_i, cb_j))
+            | _eq3(cb_i, cb_j)
+            | _eq3(n_i, ca_i)
+        )
+        ts_, tc_ = sincos_dihedral(n_i, ca_i, cb_i, cb_j, deg_t)
+
+        # planar angle phi in [0, pi]: sin = |ba x bc| / (|ba||bc|), cos = ...
+        ba = _sub(ca_i, cb_i)
+        bc = _sub(cb_j, cb_i)
+        cr = _cross(ba, bc)
+        s2 = _dot(cr, cr)
+        dt = _dot(ba, bc)
+        r2p = s2 + dt * dt
+        okp = r2p > 0.0  # NaN or zero-length -> (0, 0), the nan_to_num value
+        invp = jax.lax.rsqrt(jnp.where(okp, r2p, 1.0))
+        ps_ = jnp.where(okp, jnp.sqrt(jnp.where(s2 > 0.0, s2, 0.0)) * invp, 0.0)
+        pc_ = jnp.where(okp, dt * invp, 0.0)
+
+        for k, v in enumerate((os_, oc_, ts_, tc_, ps_, pc_)):
+            ang_ref[0, k] = v.astype(adt)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_bins", "max_dist", "tile_i", "tile_j", "interpret",
+                     "ang_dtype"),
+)
+def model_features_pallas(
+    xyz: jnp.ndarray,
+    n_bins: int = 36,
+    max_dist: float = 20.0,
+    tile_i: int = 128,
+    tile_j: int = 512,
+    interpret: bool = False,
+    ang_dtype=jnp.bfloat16,
+):
+    """Fused model-input featurization: ``(d_cb_bins, ang_sincos)``.
+
+    Returns ``d_cb_bins (B, L, L) int32`` and ``ang_sincos (B, 6, L, L)``
+    of ``ang_dtype`` in [sin w, cos w, sin t, cos t, sin phi, cos phi]
+    order.  Writes 16 B/pair instead of the raw path's 24 B/pair and skips
+    the model's separate sin/cos pass — the training-ingest fast path
+    consumed by ``models.trfold.featurize_for_model(fused=True)``.
+    """
+    B, Li = xyz.shape[:2]
+    Lj = Li
+
+    tile_i = min(tile_i, _ceil_to(max(Li, 8), 8))
+    tile_j = min(tile_j, _ceil_to(max(Lj, 128), 128))
+    Lpi = _ceil_to(max(Li, 8), tile_i)
+    Lpj = _ceil_to(max(Lj, 128), tile_j)
+
+    xi = jnp.pad(xyz.astype(jnp.float32), ((0, 0), (0, Lpi - Li), (0, 0), (0, 0)))
+    xj = jnp.pad(xyz.astype(jnp.float32), ((0, 0), (0, Lpj - Lj), (0, 0), (0, 0)))
+    fi, _ = _pack_planes(xi)
+    _, fj = _pack_planes(xj)
+
+    outs = pl.pallas_call(
+        _make_model_kernel(n_bins, float(max_dist)),
+        name="trrosetta_model_features",
+        grid=(B, Lpi // tile_i, Lpj // tile_j),
+        in_specs=[
+            pl.BlockSpec((1, tile_i, 12), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 12, tile_j), lambda b, i, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_i, tile_j), lambda b, i, j: (b, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, tile_i, tile_j), lambda b, i, j: (b, 0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Lpi, Lpj), jnp.int32),
+            jax.ShapeDtypeStruct((B, 6, Lpi, Lpj), ang_dtype),
+        ],
+        interpret=interpret,
+    )(fi, fj)
+
+    return outs[0][:, :Li, :Lj], outs[1][:, :, :Li, :Lj]
 
 
 def trrosetta_features(

@@ -1,0 +1,94 @@
+"""Fused model-featurization path: kernel parity + model/loss equivalence.
+
+``featurize_for_model(fused=True)`` feeds TrFold pre-binned distances and
+precomputed angle sin/cos from one Pallas kernel (no raw maps, no atan2);
+these tests pin it to the raw-map path on real structures.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import protstruc_tpu as ps
+from protstruc_tpu.models.trfold import (
+    TrFold,
+    TrFoldConfig,
+    featurize_for_model,
+    loss_fn,
+)
+from protstruc_tpu.ops.histogram import distogram_bins
+from protstruc_tpu.ops.pallas_pairwise import model_features_pallas
+
+from tests.conftest import pdb_path
+
+
+def _batch():
+    sb = ps.StructureBatch.from_pdb(pdb_path("1ad0_DC.pdb"))
+    return sb.residue_compact(np.arange(sb.n_residues)[None] < 64)
+
+
+def test_model_features_kernel_matches_raw_maps():
+    sb = _batch()
+    g = sb.inter_residue_geometry()
+    bins, ang = model_features_pallas(sb.xyz, interpret=True,
+                                      ang_dtype=jnp.float32)
+
+    np.testing.assert_array_equal(
+        np.asarray(bins), np.asarray(distogram_bins(g["d_cb"], 36, 20.0))
+    )
+    for k, (name, fn) in enumerate(
+        [("omega", jnp.sin), ("omega", jnp.cos), ("theta", jnp.sin),
+         ("theta", jnp.cos), ("phi", jnp.sin), ("phi", jnp.cos)]
+    ):
+        want = jnp.nan_to_num(fn(g[name]), nan=0.0)
+        # 1e-4: at near-0/pi angles the raw path's arccos form is itself
+        # only ~3e-5-conditioned in f32; the kernel's rsqrt form is the
+        # more accurate of the two (measured: 3 of 188k pairs differ ~3e-5)
+        np.testing.assert_allclose(
+            np.asarray(ang[:, k]), np.asarray(want), atol=1e-4,
+            err_msg=f"{name}/{fn.__name__}",
+        )
+
+
+def test_fused_feats_match_raw_feats_through_model():
+    sb = _batch()
+    cfg = TrFoldConfig(node_dim=16, pair_dim=8, n_heads=2, n_blocks=2)
+    model = TrFold(cfg)
+
+    raw = featurize_for_model(sb)
+    # f32 angle features for a strict apples-to-apples forward (the bf16
+    # default adds only its ~4e-3 rounding; test_fused_path_trains covers it)
+    fused = featurize_for_model(sb, fused=True, ang_dtype=jnp.float32)
+
+    np.testing.assert_array_equal(
+        np.asarray(raw["pair_mask"]), np.asarray(fused["pair_mask"])
+    )
+
+    params = model.init(jax.random.PRNGKey(0), raw)["params"]
+    out_raw = model.apply({"params": params}, raw)
+    out_fused = model.apply({"params": params}, fused)
+    for k in out_raw:
+        np.testing.assert_allclose(
+            np.asarray(out_raw[k]), np.asarray(out_fused[k]),
+            atol=1e-4, err_msg=k,
+        )
+
+    l_raw = float(loss_fn(params, model, raw))
+    l_fused = float(loss_fn(params, model, fused))
+    assert abs(l_raw - l_fused) < 1e-3, (l_raw, l_fused)
+
+
+def test_fused_path_trains():
+    import optax
+
+    sb = _batch()
+    cfg = TrFoldConfig(node_dim=16, pair_dim=8, n_heads=2, n_blocks=1)
+    model = TrFold(cfg)
+    feats = featurize_for_model(sb, fused=True)
+    params = model.init(jax.random.PRNGKey(0), feats)["params"]
+
+    loss, grads = jax.value_and_grad(loss_fn)(params, model, feats)
+    assert np.isfinite(float(loss))
+    assert all(
+        np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(grads)
+    )
