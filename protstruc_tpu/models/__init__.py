@@ -12,6 +12,12 @@ library's featurization directly:
 * ``inverse_fold.InverseFold`` — fixed-backbone sequence design
   (ProteinMPNN-style) with distance-kernel attention neighborhoods.
 * ``moe.MoEMLP`` — Switch-style expert layer with 'ep' sharding.
+* ``ipa.StructureModule`` / ``ipa.FoldModel`` — AlphaFold-2-style invariant
+  point attention over rigid frames: end-to-end on-device structure decode
+  (no host MDS), trained with FAPE.
+* ``framediff.FrameDenoiser`` — SE(3) diffusion over backbone frames
+  (IGSO3 rotations + Euclidean translations) for generative backbone
+  design, sampled under one ``lax.scan``.
 """
 
 from protstruc_tpu.models.trfold import (
@@ -24,3 +30,17 @@ from protstruc_tpu.models.trfold import (
 )
 from protstruc_tpu.models.inverse_fold import InverseFold, InverseFoldConfig
 from protstruc_tpu.models.moe import MoEMLP
+from protstruc_tpu.models.framediff import (
+    FrameDenoiser,
+    FrameDiffConfig,
+    framediff_loss,
+    framediff_sample,
+)
+from protstruc_tpu.models.ipa import (
+    FoldModel,
+    IPAConfig,
+    InvariantPointAttention,
+    StructureModule,
+    fape_loss,
+    fold_loss_fn,
+)

@@ -1,0 +1,260 @@
+"""SE(3) diffusion over backbone rigid frames (FrameDiff-style), TPU-first.
+
+Generative backbone design by denoising diffusion on frames: translations
+follow the Euclidean VP process of ops/diffusion.py; rotations follow a
+variance-exploding IGSO(3) process (ops/so3.py).  The denoiser is the IPA
+:class:`~protstruc_tpu.models.ipa.StructureModule` conditioned on the noisy
+frames and timestep — it predicts the *clean* frames directly
+(x0-parameterization), and the ancestral sampler runs the full reverse
+process under one ``lax.scan`` with static shapes.
+
+The reference library ships only the forward Euclidean step
+(``diffuse_xyz``, reference protstruc.py:864-878); frame diffusion is new
+TPU-native capability on the same representation
+(``backbone_orientations`` / ``backbone_translations``, reference
+protstruc.py:543-587).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from protstruc_tpu.models.ipa import IPAConfig, StructureModule
+from protstruc_tpu.ops.diffusion import cosine_variance_schedule
+from protstruc_tpu.ops.rigid import rotation_angle
+from protstruc_tpu.ops.so3 import geodesic_interp, sample_igso3
+
+__all__ = [
+    "FrameDiffConfig",
+    "FrameDenoiser",
+    "corrupt_frames",
+    "framediff_loss",
+    "framediff_sample",
+    "sigma_schedule",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameDiffConfig:
+    node_dim: int = 64
+    pair_dim: int = 32
+    n_heads: int = 4
+    n_iter: int = 2
+    T: int = 100
+    sigma_min: float = 0.02     # IGSO3 concentration at t=0
+    sigma_max: float = 1.5      # ... at t=T (near-uniform on SO(3))
+    trans_scale: float = 10.0   # angstroms per unit of normalized translation
+    n_dist_bins: int = 22
+    dtype: Any = jnp.float32
+
+    def betas(self) -> jnp.ndarray:
+        return cosine_variance_schedule(self.T)
+
+    def sigmas(self) -> jnp.ndarray:
+        return sigma_schedule(self.T, self.sigma_min, self.sigma_max)
+
+
+def sigma_schedule(T: int, sigma_min: float, sigma_max: float) -> jnp.ndarray:
+    """Log-linear VE noise schedule for the rotation process, ``(T,)``."""
+    return jnp.exp(
+        jnp.linspace(jnp.log(sigma_min), jnp.log(sigma_max), T)
+    ).astype(jnp.float32)
+
+
+def _timestep_embedding(t, dim: int, max_period: float = 10_000.0):
+    """Sinusoidal timestep embedding ``(..., dim)`` (t normalized to [0, 1])."""
+    half = dim // 2
+    freqs = jnp.exp(-jnp.log(max_period) * jnp.arange(half) / half)
+    ang = jnp.asarray(t, jnp.float32)[..., None] * freqs * 1000.0
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class FrameDenoiser(nn.Module):
+    """Noisy frames + timestep -> predicted clean frames.
+
+    Node features: timestep embedding + per-residue rotation/translation
+    summaries; pair features: binned CA-CA distances of the noisy structure
+    + relative sequence position.  The StructureModule refines *from the
+    noisy frames* (initial_frames), so the prediction is a frame update —
+    near-identity work at low noise, which is the easy direction to learn.
+    """
+
+    cfg: FrameDiffConfig
+
+    @nn.compact
+    def __call__(self, r_t, x_t, t, mask):
+        cfg = self.cfg
+        B, L = x_t.shape[:2]
+
+        t_emb = _timestep_embedding(t, cfg.node_dim)  # (B, node_dim)
+        node = nn.Dense(cfg.node_dim, name="t_in", dtype=cfg.dtype)(t_emb)[:, None, :]
+        node = jnp.broadcast_to(node, (B, L, cfg.node_dim))
+        # per-residue geometric summaries (invariant: norms + rotation angle)
+        summ = jnp.stack(
+            [
+                jnp.linalg.norm(x_t, axis=-1),
+                rotation_angle(r_t),
+            ],
+            axis=-1,
+        )
+        node = node + nn.Dense(cfg.node_dim, name="summ_in", dtype=cfg.dtype)(summ)
+        pos = jnp.broadcast_to(
+            jnp.linspace(-1.0, 1.0, L)[None, :, None], (B, L, 1)
+        )
+        node = node + nn.Dense(cfg.node_dim, name="pos_in", dtype=cfg.dtype)(pos)
+
+        # pair: binned noisy CA-CA distance + clipped relative offset
+        d = jnp.linalg.norm(
+            x_t[:, :, None, :] - x_t[:, None, :, :] + 1e-8, axis=-1
+        )
+        edges = jnp.linspace(0.0, 2.0, cfg.n_dist_bins - 1) * cfg.trans_scale
+        bins = jnp.searchsorted(edges, d)
+        pair = nn.Embed(cfg.n_dist_bins, cfg.pair_dim, name="dist_embed",
+                        dtype=cfg.dtype)(bins)
+        off = jnp.clip(
+            jnp.arange(L)[None, :, None] - jnp.arange(L)[None, None, :], -32, 32
+        ) + 32
+        pair = pair + nn.Embed(65, cfg.pair_dim, name="relpos_embed",
+                               dtype=cfg.dtype)(off)
+
+        ipa_cfg = IPAConfig(
+            node_dim=cfg.node_dim,
+            pair_dim=cfg.pair_dim,
+            n_heads=cfg.n_heads,
+            n_iter=cfg.n_iter,
+            dtype=cfg.dtype,
+        )
+        out = StructureModule(ipa_cfg, name="structure")(
+            node, pair, mask, initial_frames=(r_t, x_t)
+        )
+        return out["frames"]  # predicted (r_0, x_0)
+
+
+def corrupt_frames(
+    key: jax.Array,
+    r0: jnp.ndarray,
+    x0: jnp.ndarray,
+    t: jnp.ndarray,
+    cfg: FrameDiffConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward process q(frame_t | frame_0) at per-structure steps ``t (B,)``.
+
+    Translations: closed-form VP marginal.  Rotations: right-multiply by an
+    IGSO3 sample at sigma_t (VE).
+    """
+    kr, kx = jax.random.split(key)
+    B, L = x0.shape[:2]
+
+    alpha_bar = jnp.cumprod(1.0 - cfg.betas())
+    ab = alpha_bar[t][:, None, None]
+    eps = jax.random.normal(kx, x0.shape)
+    x_t = jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * eps
+
+    sigma_t = cfg.sigmas()[t][:, None]  # (B, 1) broadcast over L
+    noise_rot = sample_igso3(kr, jnp.broadcast_to(sigma_t, (B, L)), (B, L))
+    r_t = jnp.einsum("blij,bljk->blik", r0, noise_rot)
+    return r_t, x_t
+
+
+def framediff_loss(
+    params,
+    model: FrameDenoiser,
+    key: jax.Array,
+    r0: jnp.ndarray,
+    x0: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: FrameDiffConfig,
+) -> jnp.ndarray:
+    """x0-parameterized denoising loss: translation MSE + rotation geodesic².
+
+    Coordinates are expected in normalized units (divide by
+    ``cfg.trans_scale``); per-structure timesteps are drawn uniformly.
+    """
+    kt, kc = jax.random.split(key)
+    B = x0.shape[0]
+    t = jax.random.randint(kt, (B,), 0, cfg.T)
+
+    r_t, x_t = corrupt_frames(kc, r0, x0, t, cfg)
+    r_hat, x_hat = model.apply(
+        {"params": params}, r_t, x_t, t.astype(jnp.float32) / cfg.T, mask
+    )
+
+    w = mask.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    trans_mse = jnp.sum(w[..., None] * (x_hat - x0) ** 2) / denom
+
+    rel = jnp.einsum("blji,bljk->blik", r_hat, r0)  # r_hat^T r0
+    ang = rotation_angle(rel)
+    rot_loss = jnp.sum(w * ang**2) / denom
+    return trans_mse + rot_loss
+
+
+def framediff_sample(
+    params,
+    model: FrameDenoiser,
+    key: jax.Array,
+    shape: Tuple[int, int],
+    cfg: FrameDiffConfig,
+    keep_trajectory: bool = False,
+):
+    """Ancestral reverse sampling: noise frames -> backbone frames.
+
+    Translations use the DDPM posterior through the implied epsilon;
+    rotations take a geodesic step toward the predicted clean rotation with
+    VE-ancestral IGSO3 noise injection.  One ``lax.scan`` over T steps.
+    Returns ``(r (B, L, 3, 3), x (B, L, 3) in normalized units)``.
+    """
+    from protstruc_tpu.ops.diffusion import ddpm_reverse_step
+    from protstruc_tpu.ops.so3 import sample_igso3 as _sample
+
+    B, L = shape
+    betas = cfg.betas()
+    sigmas = cfg.sigmas()
+    alpha_bar = jnp.cumprod(1.0 - betas)
+
+    k0, k1, kloop = jax.random.split(key, 3)
+    x = jax.random.normal(k0, (B, L, 3))
+    r = sample_igso3(k1, jnp.full((B, L), cfg.sigma_max), (B, L))
+    mask = jnp.ones((B, L), bool)
+
+    keys = jax.random.split(kloop, cfg.T)
+    ts = jnp.arange(cfg.T - 1, -1, -1)
+
+    def step(carry, inp):
+        r, x = carry
+        k, t = inp
+        kx, kr = jax.random.split(k)
+
+        t_b = jnp.full((B,), t.astype(jnp.float32) / cfg.T)
+        r_hat, x_hat = model.apply({"params": params}, r, x, t_b, mask)
+
+        # translations: convert x0_hat to the implied epsilon, reuse the
+        # shared DDPM posterior step
+        ab_t = alpha_bar[t]
+        eps_hat = (x - jnp.sqrt(ab_t) * x_hat) / jnp.sqrt(1.0 - ab_t)
+        x_next = ddpm_reverse_step(x, eps_hat, kx, betas, t, clip_x0=4.0)
+
+        # rotations: VE ancestral — geodesic step toward r_hat sized by the
+        # variance ratio, plus IGSO3 noise at the posterior scale
+        s_t = sigmas[t]
+        s_prev = jnp.where(t > 0, sigmas[jnp.maximum(t - 1, 0)], 0.0)
+        gamma = 1.0 - (s_prev**2) / (s_t**2)
+        r_mean = geodesic_interp(r, r_hat, gamma)
+        s_add = jnp.sqrt(jnp.maximum(s_prev**2 * gamma, 1e-12))
+        noise = _sample(kr, jnp.full((B, L), s_add), (B, L))
+        r_next = jnp.where(
+            t > 0,
+            jnp.einsum("blij,bljk->blik", r_mean, noise),
+            r_mean,
+        )
+        return (r_next, x_next), ((r_next, x_next) if keep_trajectory else None)
+
+    (r, x), traj = jax.lax.scan(step, (r, x), (keys, ts))
+    if keep_trajectory:
+        return (r, x), traj
+    return r, x

@@ -1,0 +1,418 @@
+"""Invariant Point Attention structure module (AlphaFold-2 style), TPU-first.
+
+End-to-end on-device structure decode: instead of routing model predictions
+through the host-side trRosetta path (distogram -> distance matrix -> MDS,
+models/trfold.py:predict_structure — the decode the reference library was
+built to feed, reference README.md:7-12), a :class:`StructureModule` refines
+per-residue rigid frames directly from (node, pair) representations with
+invariant point attention and emits backbone coordinates in one jit region —
+static shapes, no eigendecompositions, batched end to end.
+
+Design notes (TPU):
+
+* All attention terms are dense ``(B, H, L, L)`` contractions — MXU-friendly
+  matmuls plus one fused point-distance reduction; no gathers.
+* The iterative refinement loop has a *static* trip count with shared
+  weights (AF2 style), so XLA unrolls it into one fused region; rotation
+  gradients are stopped between iterations (the AF2 stabilizer) except at
+  the last.
+* Frames are plain ``(R, t)`` tensor pairs from ops/rigid.py — a pytree,
+  shardable with the same ``P(dp, sp, ...)`` specs as node activations.
+* ``fape_loss`` uses squared-distance attention internally and a
+  double-where guarded sqrt (see CLAUDE.md numerics conventions) so the
+  gradient is finite at coincident points.
+
+Frame convention: rotations are column-basis matrices consistent with
+``geometry.gram_schmidt`` (reference geometry.py:413-439); a frame acts as
+``x_global = R @ x_local + t``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from protstruc_tpu import geometry as geom
+from protstruc_tpu.ops.rigid import (
+    frame_apply,
+    frame_compose,
+    frame_invert,
+    quat_to_rot,
+)
+
+__all__ = [
+    "IPAConfig",
+    "InvariantPointAttention",
+    "BackboneUpdate",
+    "StructureModule",
+    "FoldModel",
+    "frames_from_backbone",
+    "backbone_xyz_from_frames",
+    "fape_loss",
+    "fold_loss_fn",
+    "ipa_param_shardings",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class IPAConfig:
+    node_dim: int = 128
+    pair_dim: int = 64
+    n_heads: int = 4
+    scalar_dim: int = 16      # per-head scalar qkv channels
+    n_qk_points: int = 4
+    n_v_points: int = 8
+    n_iter: int = 4           # shared-weight refinement iterations
+    dtype: Any = jnp.float32
+
+
+def frames_from_backbone(xyz: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Backbone rigid frames from atom coordinates.
+
+    ``xyz``: ``(..., A, 3)`` with slots 0/1/2 = N/CA/C (vocab.py heavy-atom
+    layout).  Returns ``(R (..., 3, 3), t (..., 3))`` with
+    ``R = gram_schmidt(N, CA, C)`` and ``t = CA`` — the same convention as
+    ``StructureBatch.backbone_orientations`` (reference protstruc.py:543-587).
+    """
+    r = geom.gram_schmidt(xyz[..., 0, :], xyz[..., 1, :], xyz[..., 2, :])
+    return r, xyz[..., 1, :]
+
+
+def backbone_xyz_from_frames(
+    r: jnp.ndarray, t: jnp.ndarray, include_cb: bool = True
+) -> jnp.ndarray:
+    """Frames -> ideal backbone atom coordinates ``(..., 3|4, 3)``.
+
+    Places ``geometry.ideal_backbone_coordinates`` (CA at origin, identity
+    gram_schmidt frame) into each frame — the inverse of
+    :func:`frames_from_backbone` up to ideal-geometry deviation (mirrors
+    ``from_backbone_orientations_translations``, reference protstruc.py:263-319).
+    """
+    ideal = geom.ideal_backbone_coordinates(r.shape[:-2], include_cb=include_cb)
+    return frame_apply(r, t, ideal)
+
+
+class InvariantPointAttention(nn.Module):
+    """AF2-style IPA: scalar attention + pair bias + frame-invariant points.
+
+    Logits combine three terms (each 1/3-weighted via ``w_l = sqrt(1/3)``):
+    scalar dot products, a learned pair bias, and the negative squared
+    distance between query/key points expressed in *global* coordinates —
+    invariant to any global rigid motion of the input frames (tested in
+    tests/test_ipa.py).
+    """
+
+    cfg: IPAConfig
+
+    @nn.compact
+    def __call__(self, node, pair, frames, mask):
+        cfg = self.cfg
+        H, C = cfg.n_heads, cfg.scalar_dim
+        Pq, Pv = cfg.n_qk_points, cfg.n_v_points
+        r, t = frames
+
+        # scalar qkv
+        q = nn.DenseGeneral((H, C), name="q_scalar", dtype=cfg.dtype)(node)
+        k = nn.DenseGeneral((H, C), name="k_scalar", dtype=cfg.dtype)(node)
+        v = nn.DenseGeneral((H, C), name="v_scalar", dtype=cfg.dtype)(node)
+
+        # point qkv in local frames -> global
+        def points(name, n_pts):
+            p = nn.DenseGeneral((H, n_pts, 3), name=name, dtype=cfg.dtype)(node)
+            flat = p.reshape(p.shape[:-3] + (H * n_pts, 3))
+            glob = frame_apply(r, t, flat.astype(jnp.float32))
+            return glob.reshape(p.shape[:-3] + (H, n_pts, 3))
+
+        qp = points("q_point", Pq)
+        kp = points("k_point", Pq)
+        vp = points("v_point", Pv)
+
+        bias = nn.DenseGeneral((H,), name="pair_bias", dtype=cfg.dtype)(pair)
+        bias = jnp.moveaxis(bias, -1, 1)  # (B, H, L, L)
+
+        w_c = jnp.sqrt(2.0 / (9.0 * Pq))
+        w_l = jnp.sqrt(1.0 / 3.0)
+        gamma = nn.softplus(
+            self.param("point_weight", nn.initializers.zeros, (H,), jnp.float32)
+        )
+
+        logits = jnp.einsum("blhc,bmhc->bhlm", q, k) / jnp.sqrt(C)
+        # squared point distance, summed over points: expand the square so the
+        # cross term is one big matmul (MXU) instead of an L x L x P x 3
+        # broadcast materialization
+        sq = jnp.sum(qp**2, axis=-1).sum(-1)  # (B, L, H)
+        sk = jnp.sum(kp**2, axis=-1).sum(-1)
+        cross = jnp.einsum("blhpx,bmhpx->bhlm", qp, kp)
+        d2 = (
+            jnp.moveaxis(sq, -1, 1)[..., :, None]
+            + jnp.moveaxis(sk, -1, 1)[..., None, :]
+            - 2.0 * cross
+        )
+        logits = w_l * (logits + bias.astype(jnp.float32))
+        logits = logits - w_l * gamma[None, :, None, None] * w_c / 2.0 * d2
+
+        logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+        a = jax.nn.softmax(logits, axis=-1)  # (B, H, L, L)
+
+        o_scalar = jnp.einsum("bhlm,bmhc->blhc", a.astype(cfg.dtype), v)
+        o_pair = jnp.einsum("bhlm,blmp->blhp", a.astype(cfg.dtype), pair)
+        o_pt = jnp.einsum("bhlm,bmhpx->blhpx", a, vp)
+
+        # map attended global points back into each residue's local frame
+        r_inv, t_inv = frame_invert(r, t)
+        flat = o_pt.reshape(o_pt.shape[:-3] + (H * Pv, 3))
+        o_pt_local = frame_apply(r_inv, t_inv, flat)
+        # double-where sqrt guard: ||p|| has an infinite gradient at 0
+        n2 = jnp.sum(o_pt_local**2, axis=-1)
+        safe = jnp.where(n2 > 0.0, n2, 1.0)
+        o_pt_norm = jnp.where(n2 > 0.0, jnp.sqrt(safe), 0.0)
+
+        out = jnp.concatenate(
+            [
+                o_scalar.reshape(o_scalar.shape[:-2] + (H * C,)),
+                o_pair.reshape(o_pair.shape[:-2] + (-1,)),
+                o_pt_local.reshape(o_pt_local.shape[:-2] + (H * Pv * 3,)).astype(
+                    cfg.dtype
+                ),
+                o_pt_norm.astype(cfg.dtype),
+            ],
+            axis=-1,
+        )
+        return nn.Dense(cfg.node_dim, name="out", dtype=cfg.dtype)(out)
+
+
+class BackboneUpdate(nn.Module):
+    """Node -> small rigid update: quaternion (1, b, c, d) + translation."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, node):
+        upd = nn.Dense(6, name="update", dtype=jnp.float32,
+                       kernel_init=nn.initializers.zeros)(node)
+        bcd, trans = upd[..., :3], upd[..., 3:]
+        quat = jnp.concatenate([jnp.ones_like(bcd[..., :1]), bcd], axis=-1)
+        return quat_to_rot(quat), trans
+
+
+class StructureModule(nn.Module):
+    """Iterative frame refinement with shared-weight IPA layers.
+
+    Starts from identity frames ("black-hole" initialization) unless initial
+    frames are given, runs ``cfg.n_iter`` iterations of
+    IPA -> transition -> backbone update, and returns final frames, backbone
+    coordinates, and the per-iteration frame trajectory (for intermediate
+    FAPE supervision, AF2-style).
+    """
+
+    cfg: IPAConfig
+
+    @nn.compact
+    def __call__(self, node, pair, mask, initial_frames=None):
+        cfg = self.cfg
+        B, L = node.shape[:2]
+
+        if initial_frames is None:
+            r = jnp.broadcast_to(jnp.eye(3), (B, L, 3, 3))
+            t = jnp.zeros((B, L, 3))
+        else:
+            r, t = initial_frames
+
+        ipa = InvariantPointAttention(cfg, name="ipa")
+        ln1 = nn.LayerNorm(dtype=cfg.dtype, name="ln_ipa")
+        tr1 = nn.Dense(cfg.node_dim * 2, name="transition_in", dtype=cfg.dtype)
+        tr2 = nn.Dense(cfg.node_dim, name="transition_out", dtype=cfg.dtype)
+        ln2 = nn.LayerNorm(dtype=cfg.dtype, name="ln_transition")
+        update = BackboneUpdate(dtype=cfg.dtype, name="backbone_update")
+
+        node = nn.LayerNorm(dtype=cfg.dtype, name="ln_in")(node)
+        pair = nn.LayerNorm(dtype=cfg.dtype, name="ln_pair")(pair)
+
+        traj_r, traj_t = [], []
+        for it in range(cfg.n_iter):
+            node = ln1(node + ipa(node, pair, (r, t), mask))
+            node = ln2(node + tr2(nn.gelu(tr1(node))))
+            dr, dt = update(node)
+            r, t = frame_compose(r, t, dr, dt)
+            traj_r.append(r)
+            traj_t.append(t)
+            if it < cfg.n_iter - 1:
+                # AF2 stabilizer: no rotation gradients across iterations
+                r = jax.lax.stop_gradient(r)
+
+        xyz = backbone_xyz_from_frames(r, t, include_cb=True)
+        return {
+            "frames": (r, t),
+            "xyz": xyz,  # (B, L, 4, 3) N/CA/C/CB
+            "node": node,
+            "traj": (jnp.stack(traj_r, 0), jnp.stack(traj_t, 0)),
+        }
+
+
+class FoldModel(nn.Module):
+    """End-to-end folding: TrFold trunk -> StructureModule -> coordinates.
+
+    The flagship composition: the library's own featurization feeds the
+    TrFold pair/node trunk (models/trfold.py), whose representations drive
+    IPA frame refinement — structure prediction without leaving the device
+    (contrast ``predict_structure``'s host MDS decode).  Trained with
+    distogram CE + torsion MSE (trunk heads) + FAPE (structure head) via
+    :func:`fold_loss_fn`.
+    """
+
+    trunk_cfg: Any  # TrFoldConfig
+    ipa_cfg: IPAConfig = IPAConfig()
+
+    def setup(self):
+        from protstruc_tpu.models.trfold import TrFold
+
+        self.trunk = TrFold(self.trunk_cfg)
+        cfg = dataclasses.replace(
+            self.ipa_cfg,
+            node_dim=self.trunk_cfg.node_dim,
+            pair_dim=self.trunk_cfg.pair_dim,
+        )
+        self.structure = StructureModule(cfg)
+
+    def __call__(self, feats: Dict[str, jnp.ndarray]):
+        mask = feats["residue_mask"]
+        node, pair = self.trunk.embed(feats)
+        moe_aux = 0.0
+        for block in self.trunk.blocks:
+            node, pair, aux = block(node, pair, mask)
+            moe_aux = moe_aux + aux
+        out = self.trunk.heads(node, pair)
+        out["moe_aux_loss"] = jnp.asarray(moe_aux, jnp.float32)
+        out.update(self.structure(node, pair, mask))
+        return out
+
+
+def fape_loss(
+    pred_frames: Tuple[jnp.ndarray, jnp.ndarray],
+    pred_xyz: jnp.ndarray,
+    true_frames: Tuple[jnp.ndarray, jnp.ndarray],
+    true_xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    clamp: float = 10.0,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Frame-aligned point error (AF2 eq. 28), masked and clamped.
+
+    ``pred_xyz``/``true_xyz``: ``(B, L, A, 3)`` atom coordinates;
+    ``mask``: ``(B, L)`` residue validity (applied to both the frame axis i
+    and the atom-owner axis j).  Every atom is expressed in every residue's
+    local frame; the clamped mean distance error is invariant to global
+    rigid motion of either structure.
+    """
+    B, L, A, _ = pred_xyz.shape
+
+    def all_local(frames, xyz):
+        # local[b, i, j] = R_i^T (x_j - t_i): every atom in every frame,
+        # as one (B, L, L*A) batched matmul
+        r, t = frames
+        r_inv = jnp.swapaxes(r, -2, -1)
+        x = xyz.reshape(B, L * A, 3)
+        rot = jnp.einsum("bixy,bjy->bijx", r_inv, x)
+        shift = jnp.einsum("bixy,biy->bix", r_inv, t)
+        return rot - shift[:, :, None]
+
+    lp = all_local(pred_frames, pred_xyz)
+    lt = all_local(true_frames, true_xyz)
+
+    d2 = jnp.sum((lp - lt) ** 2, axis=-1)  # (B, Li, Lj*A)
+    # double-where guard around the sqrt (gradient at identical structures)
+    safe = jnp.where(d2 > eps, d2, 1.0)
+    d = jnp.where(d2 > eps, jnp.sqrt(safe), 0.0)
+    d = jnp.minimum(d, clamp) / clamp
+
+    atom_mask = jnp.repeat(mask, A, axis=1)  # (B, Lj*A)
+    w = mask[:, :, None] * atom_mask[:, None, :]
+    return jnp.sum(d * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def fold_loss_fn(params, model: FoldModel, feats: Dict[str, jnp.ndarray],
+                 batch_xyz: jnp.ndarray, fape_weight: float = 1.0):
+    """Trunk losses (distogram/torsion/angles) + backbone FAPE.
+
+    ``batch_xyz``: ground-truth ``(B, L, A>=3, 3)`` coordinates (NaNs allowed
+    at missing atoms; residues with any missing backbone atom are dropped
+    from the FAPE mask).
+    """
+    from protstruc_tpu.models import trfold as tf
+
+    out = model.apply({"params": params}, feats)
+
+    # trunk losses, reusing the TrFold formulation on the same outputs
+    trunk_loss = _trunk_losses(out, feats, model.trunk_cfg)
+
+    bb = batch_xyz[:, :, :3]
+    bb_ok = jnp.isfinite(bb).all((-2, -1)) & feats["residue_mask"]
+    bb = jnp.nan_to_num(bb, nan=0.0)
+    true_r, true_t = frames_from_backbone(bb)
+    true_r = jnp.where(bb_ok[..., None, None], true_r, jnp.eye(3))
+    true_t = jnp.where(bb_ok[..., None], true_t, 0.0)
+
+    pred = out["frames"]
+    fape = fape_loss(
+        pred,
+        out["xyz"][:, :, :3],
+        (true_r, true_t),
+        bb,
+        bb_ok,
+    )
+    return trunk_loss + fape_weight * fape
+
+
+def _trunk_losses(out, feats, cfg) -> jnp.ndarray:
+    """Distogram CE + torsion MSE on precomputed outputs (mirrors
+    trfold.loss_fn, which re-applies the model itself)."""
+    from protstruc_tpu.ops.histogram import distogram_bins
+
+    if "d_cb_bins" in feats:
+        target_bins = feats["d_cb_bins"]
+    else:
+        target_bins = distogram_bins(feats["d_cb"], cfg.n_dist_bins, cfg.max_dist)
+    logp = jax.nn.log_softmax(out["distogram_logits"], axis=-1)
+    ce = -jnp.take_along_axis(logp, target_bins[..., None], axis=-1)[..., 0]
+    pm = feats["pair_mask"]
+    ce = jnp.sum(jnp.where(pm, ce, 0.0)) / jnp.maximum(jnp.sum(pm), 1.0)
+
+    target_sc = jnp.stack(
+        [jnp.sin(feats["torsions"]), jnp.cos(feats["torsions"])], axis=-1
+    )
+    tm = feats["torsion_mask"][..., None]
+    mse = jnp.sum(jnp.where(tm, (out["torsion_sincos"] - target_sc) ** 2, 0.0))
+    mse = mse / jnp.maximum(jnp.sum(tm), 1.0)
+    return ce + mse + cfg.moe_aux_weight * out["moe_aux_loss"]
+
+
+def ipa_param_shardings(params, mesh: Mesh):
+    """NamedShardings for StructureModule/FoldModel params.
+
+    IPA scalar/point qkv DenseGeneral kernels ``(D, H, ...)`` shard heads
+    over tp; trunk params reuse trfold.param_shardings rules; the rest is
+    replicated.
+    """
+    from protstruc_tpu.models.trfold import param_shardings as trunk_rules
+
+    trunk = trunk_rules(params, mesh)
+
+    def spec_for(path, x):
+        names = [getattr(p, "key", str(p)) for p in path]
+        joined = "/".join(names)
+        if "_scalar" in joined and x.ndim == 3:
+            return P(None, "tp", None)
+        if "_point" in joined and x.ndim == 4:
+            return P(None, "tp", None, None)
+        return None
+
+    def merge(path, x, t):
+        s = spec_for(path, x)
+        return NamedSharding(mesh, s) if s is not None else t
+
+    return jax.tree_util.tree_map_with_path(merge, params, trunk)

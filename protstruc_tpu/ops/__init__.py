@@ -24,3 +24,10 @@ from protstruc_tpu.ops.diffusion import (
     diffusion_trajectory,
     forward_marginal,
 )
+from protstruc_tpu.ops.so3 import (
+    geodesic_interp,
+    igso3_score_norm,
+    rot_to_rotvec,
+    rotvec_to_rot,
+    sample_igso3,
+)

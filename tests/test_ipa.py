@@ -1,0 +1,278 @@
+"""Invariant point attention / StructureModule tests.
+
+Key invariants: IPA node outputs are invariant to global rigid motion of the
+input frames; StructureModule coordinates are equivariant; FAPE is invariant
+to global motion of either argument, zero at identity, and differentiable at
+coincident structures (double-where sqrt guard).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import protstruc_tpu as ps
+from protstruc_tpu.models.ipa import (
+    FoldModel,
+    IPAConfig,
+    InvariantPointAttention,
+    StructureModule,
+    backbone_xyz_from_frames,
+    fape_loss,
+    fold_loss_fn,
+    frames_from_backbone,
+    ipa_param_shardings,
+)
+from protstruc_tpu.models.trfold import TrFoldConfig, featurize_for_model
+from protstruc_tpu.ops.rigid import frame_compose, random_rotations
+
+CFG = IPAConfig(node_dim=32, pair_dim=16, n_heads=2, scalar_dim=8,
+                n_qk_points=4, n_v_points=4, n_iter=2)
+
+
+def _inputs(key, B=2, L=12):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    node = jax.random.normal(k1, (B, L, CFG.node_dim))
+    pair = jax.random.normal(k2, (B, L, L, CFG.pair_dim))
+    xyz = jax.random.normal(k3, (B, L, 4, 3)) * 3.0
+    mask = jnp.ones((B, L), bool)
+    frames = frames_from_backbone(xyz)
+    return node, pair, frames, mask, k4
+
+
+def _global_motion(key, frames, B):
+    """Apply one random rigid motion per structure to a set of frames."""
+    kr, kt = jax.random.split(key)
+    rg = random_rotations(kr, (B,))
+    tg = jax.random.normal(kt, (B, 3)) * 10.0
+    r, t = frames
+    return frame_compose(rg[:, None], tg[:, None], r, t)
+
+
+class TestIPA:
+    def test_rigid_invariance(self):
+        node, pair, frames, mask, key = _inputs(jax.random.PRNGKey(0))
+        mod = InvariantPointAttention(CFG)
+        params = mod.init(jax.random.PRNGKey(1), node, pair, frames, mask)
+
+        out = mod.apply(params, node, pair, frames, mask)
+        moved = _global_motion(key, frames, node.shape[0])
+        out2 = mod.apply(params, node, pair, moved, mask)
+        np.testing.assert_allclose(out, out2, atol=2e-4)
+
+    def test_mask_excludes_keys(self):
+        node, pair, frames, mask, _ = _inputs(jax.random.PRNGKey(2))
+        mod = InvariantPointAttention(CFG)
+        params = mod.init(jax.random.PRNGKey(1), node, pair, frames, mask)
+
+        # perturbing a masked-out residue's node/point inputs must not change
+        # other residues' outputs
+        mask2 = mask.at[:, -1].set(False)
+        out = mod.apply(params, node, pair, frames, mask2)
+        node_p = node.at[:, -1].add(5.0)
+        out_p = mod.apply(params, node_p, pair, frames, mask2)
+        np.testing.assert_allclose(out[:, :-1], out_p[:, :-1], atol=1e-5)
+
+
+class TestStructureModule:
+    def test_shapes_and_finiteness(self):
+        node, pair, frames, mask, _ = _inputs(jax.random.PRNGKey(3))
+        mod = StructureModule(CFG)
+        params = mod.init(jax.random.PRNGKey(4), node, pair, mask)
+        out = mod.apply(params, node, pair, mask)
+        B, L = node.shape[:2]
+        assert out["xyz"].shape == (B, L, 4, 3)
+        assert out["frames"][0].shape == (B, L, 3, 3)
+        assert out["traj"][0].shape == (CFG.n_iter, B, L, 3, 3)
+        assert np.isfinite(np.asarray(out["xyz"])).all()
+        # rotations are orthonormal
+        r = out["frames"][0]
+        eye = jnp.einsum("blij,blkj->blik", r, r)
+        np.testing.assert_allclose(eye, jnp.broadcast_to(jnp.eye(3), eye.shape),
+                                   atol=1e-5)
+
+    def test_equivariance_from_initial_frames(self):
+        node, pair, frames, mask, key = _inputs(jax.random.PRNGKey(5))
+        mod = StructureModule(CFG)
+        params = mod.init(jax.random.PRNGKey(6), node, pair, mask,
+                          initial_frames=frames)
+        out = mod.apply(params, node, pair, mask, initial_frames=frames)
+
+        moved = _global_motion(key, frames, node.shape[0])
+        out2 = mod.apply(params, node, pair, mask, initial_frames=moved)
+
+        # the predicted coordinates move with the same global motion
+        kr, kt = jax.random.split(key)
+        rg = random_rotations(kr, (node.shape[0],))
+        tg = jax.random.normal(kt, (node.shape[0], 3)) * 10.0
+        expect = jnp.einsum("bij,blaj->blai", rg, out["xyz"]) + tg[:, None, None]
+        np.testing.assert_allclose(out2["xyz"], expect, atol=2e-3)
+
+    def test_gradients_finite(self):
+        node, pair, frames, mask, _ = _inputs(jax.random.PRNGKey(7))
+        mod = StructureModule(CFG)
+        params = mod.init(jax.random.PRNGKey(8), node, pair, mask)
+
+        def loss(p):
+            out = mod.apply(p, node, pair, mask)
+            return jnp.sum(out["xyz"] ** 2) * 1e-3
+
+        g = jax.grad(loss)(params)
+        assert all(
+            np.isfinite(np.asarray(x)).all()
+            for x in jax.tree_util.tree_leaves(g)
+        )
+
+
+class TestFrameRoundTrip:
+    def test_frames_roundtrip_ideal(self):
+        # ideal backbone placed in random frames -> recovered frames match
+        key = jax.random.PRNGKey(9)
+        kr, kt = jax.random.split(key)
+        r = random_rotations(kr, (2, 5))
+        t = jax.random.normal(kt, (2, 5, 3)) * 8.0
+        xyz = backbone_xyz_from_frames(r, t)
+        r2, t2 = frames_from_backbone(xyz)
+        np.testing.assert_allclose(r, r2, atol=1e-5)
+        np.testing.assert_allclose(t, t2, atol=1e-5)
+
+
+class TestFAPE:
+    def _structs(self, key, B=2, L=10):
+        xyz = jax.random.normal(key, (B, L, 4, 3)) * 4.0
+        frames = frames_from_backbone(xyz)
+        mask = jnp.ones((B, L), bool)
+        return xyz, frames, mask
+
+    def test_zero_at_identity_and_grad_finite(self):
+        xyz, frames, mask = self._structs(jax.random.PRNGKey(10))
+        val = fape_loss(frames, xyz, frames, xyz, mask)
+        assert float(val) < 1e-6
+
+        # gradient at the degenerate (identical) point is finite
+        g = jax.grad(
+            lambda x: fape_loss(frames_from_backbone(x), x, frames, xyz, mask)
+        )(xyz)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_invariant_to_global_motion(self):
+        key = jax.random.PRNGKey(11)
+        xyz, frames, mask = self._structs(key)
+        k2 = jax.random.PRNGKey(12)
+        xyz_p = xyz + jax.random.normal(k2, xyz.shape) * 0.5
+        frames_p = frames_from_backbone(xyz_p)
+        base = fape_loss(frames_p, xyz_p, frames, xyz, mask)
+        assert float(base) > 1e-3
+
+        # move the prediction rigidly: FAPE unchanged
+        kr, kt = jax.random.split(k2)
+        rg = random_rotations(kr, (xyz.shape[0],))
+        tg = jax.random.normal(kt, (xyz.shape[0], 3)) * 20.0
+        xyz_m = jnp.einsum("bij,blaj->blai", rg, xyz_p) + tg[:, None, None]
+        moved = fape_loss(frames_from_backbone(xyz_m), xyz_m, frames, xyz, mask)
+        np.testing.assert_allclose(float(base), float(moved), atol=1e-4)
+
+    def test_clamp(self):
+        xyz, frames, mask = self._structs(jax.random.PRNGKey(13))
+        far = xyz + 1e4
+        val = fape_loss(frames_from_backbone(far), far, frames, xyz, mask)
+        assert float(val) <= 1.0 + 1e-6  # clamped and normalized
+
+
+class TestFoldModel:
+    def _setup(self, fused=False):
+        files = ["tests/data/15c8_HL.pdb"]
+        sb = ps.StructureBatch.from_pdb(files)
+        feats = featurize_for_model(sb)
+        tcfg = TrFoldConfig(node_dim=32, pair_dim=16, n_heads=2, n_blocks=1)
+        model = FoldModel(trunk_cfg=tcfg, ipa_cfg=CFG)
+        params = model.init(jax.random.PRNGKey(0), feats)["params"]
+        return sb, feats, model, params
+
+    def test_end_to_end_forward(self):
+        sb, feats, model, params = self._setup()
+        out = jax.jit(lambda p, f: model.apply({"params": p}, f))(params, feats)
+        B, L = feats["seq_idx"].shape
+        assert out["xyz"].shape == (B, L, 4, 3)
+        assert out["distogram_logits"].shape[:3] == (B, L, L)
+        assert np.isfinite(np.asarray(out["xyz"])).all()
+
+    def test_fold_loss_and_grad(self):
+        sb, feats, model, params = self._setup()
+
+        def loss(p):
+            return fold_loss_fn(p, model, feats, sb.xyz)
+
+        val, g = jax.value_and_grad(loss)(params)
+        assert np.isfinite(float(val))
+        assert all(
+            np.isfinite(np.asarray(x)).all()
+            for x in jax.tree_util.tree_leaves(g)
+        )
+
+    def test_overfit_decreases_loss(self):
+        import optax
+
+        sb, feats, model, params = self._setup()
+        tx = optax.adam(1e-3)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(p, o):
+            l, g = jax.value_and_grad(
+                lambda q: fold_loss_fn(q, model, feats, sb.xyz)
+            )(p)
+            u, o = tx.update(g, o, p)
+            return optax.apply_updates(p, u), o, l
+
+        losses = []
+        for _ in range(8):
+            params, opt, l = step(params, opt)
+            losses.append(float(l))
+        assert losses[-1] < losses[0]
+
+    def test_sharded_train_step(self):
+        """FoldModel step under the full (dp, sp, tp) mesh with IPA shardings."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from protstruc_tpu.models.trfold import feats_shardings
+        from protstruc_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh(8)
+
+        B = 2 * mesh.shape["dp"]
+        L = 16 * mesh.shape["sp"]
+        rng = np.random.RandomState(0)
+        xyz = rng.randn(B, L, 15, 3).astype(np.float32) * 5.0
+        sb = ps.StructureBatch.from_xyz(xyz)
+        feats = featurize_for_model(sb)
+
+        tcfg = TrFoldConfig(node_dim=32, pair_dim=16,
+                            n_heads=2 * mesh.shape["tp"], n_blocks=1)
+        model = FoldModel(trunk_cfg=tcfg, ipa_cfg=CFG)
+        params = model.init(jax.random.PRNGKey(0), feats)["params"]
+
+        p_shard = ipa_param_shardings(params, mesh)
+        f_shard = {k: v for k, v in feats_shardings(mesh).items() if k in feats}
+        params = jax.device_put(params, p_shard)
+        feats = {k: jax.device_put(v, f_shard[k]) for k, v in feats.items()}
+        gt = jax.device_put(
+            jnp.asarray(xyz), NamedSharding(mesh, P("dp", "sp", None, None))
+        )
+
+        @jax.jit
+        def val_grad(p, f, x):
+            return jax.value_and_grad(
+                lambda q: fold_loss_fn(q, model, f, x)
+            )(p)
+
+        loss, grads = val_grad(params, feats, gt)
+        assert np.isfinite(float(loss))
+        assert all(
+            np.isfinite(np.asarray(x)).all()
+            for x in jax.tree_util.tree_leaves(grads)
+        )
