@@ -545,6 +545,49 @@ class StructureBatch:
         )
         return ss
 
+    def sasa(self, probe: float = 1.4, n_points: int = 92,
+             per_atom: bool = False) -> jnp.ndarray:
+        """Shrake-Rupley solvent-accessible surface area, ``(B, L)`` A^2.
+
+        Device-side all-atom SASA (ops/surface.py) — an analysis the
+        reference delegates to external tools entirely.  Requires sequences
+        (for per-slot vdW radii).
+        """
+        from protstruc_tpu.ops.surface import sasa as _sasa
+
+        return _sasa(self.xyz, self.atom_mask, self.get_seq_idx(),
+                     probe=probe, n_points=n_points, per_atom=per_atom)
+
+    def radius_of_gyration(self) -> jnp.ndarray:
+        """Radius of gyration over valid atoms, ``(B,)`` angstrom."""
+        from protstruc_tpu.ops.surface import radius_of_gyration as _rg
+
+        return _rg(self.xyz, self.atom_mask)
+
+    def contact_order(self, cutoff: float = 8.0,
+                      relative: bool = True) -> jnp.ndarray:
+        """(Relative) contact order from CA coordinates, ``(B,)``."""
+        from protstruc_tpu.ops.surface import contact_order as _co
+
+        return _co(self.xyz[:, :, int(ATOM.CA)], self.residue_mask,
+                   cutoff=cutoff, relative=relative)
+
+    def lddt_to(self, other: "StructureBatch", per_residue: bool = False,
+                cutoff: float = 15.0) -> jnp.ndarray:
+        """CA lDDT of self against a reference batch (superposition-free)."""
+        from protstruc_tpu.ops.metrics import lddt as _lddt
+
+        ca_s = jnp.nan_to_num(self.xyz[:, :, int(ATOM.CA)], nan=1e6)
+        ca_o = jnp.nan_to_num(other.xyz[:, :, int(ATOM.CA)], nan=1e6)
+        mask = (
+            self.get_residue_mask()
+            & other.get_residue_mask()
+            & jnp.isfinite(self.xyz[:, :, int(ATOM.CA)]).all(-1)
+            & jnp.isfinite(other.xyz[:, :, int(ATOM.CA)]).all(-1)
+        )
+        return _lddt(ca_s, ca_o, mask=mask, cutoff=cutoff,
+                     per_residue=per_residue)
+
     def get_local_xyz(self) -> jnp.ndarray:
         """Atom coordinates rotated into each residue's local frame.
 

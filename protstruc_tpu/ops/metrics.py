@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from protstruc_tpu import geometry as geom
 
-__all__ = ["rmsd", "superimpose", "tm_score", "gdt_ts"]
+__all__ = ["rmsd", "superimpose", "tm_score", "gdt_ts", "lddt"]
 
 
 def _masked_mean(x, w, axis):
@@ -97,3 +97,57 @@ def gdt_ts(a, b, mask=None, align: bool = True) -> jnp.ndarray:
         for c in (1.0, 2.0, 4.0, 8.0)
     ]
     return sum(fracs) / 4.0
+
+
+def lddt(
+    pred,
+    ref,
+    mask=None,
+    cutoff: float = 15.0,
+    thresholds=(0.5, 1.0, 2.0, 4.0),
+    per_residue: bool = False,
+) -> jnp.ndarray:
+    """lDDT over CA point sets ``(..., n, 3)`` — superposition-free.
+
+    Local Distance Difference Test (Mariani et al. 2013): over all residue
+    pairs whose *reference* distance is below ``cutoff`` (excluding self),
+    the mean fraction of pairwise distances preserved within each threshold.
+    All-pairs broadcast, no alignment step — vmaps/shards over leading dims.
+
+    Returns ``(...,)``, or ``(..., n)`` with ``per_residue=True``.
+    """
+    pred, ref = jnp.asarray(pred), jnp.asarray(ref)
+    if mask is None:
+        mask = jnp.ones(pred.shape[:-1], dtype=bool)
+    mask = jnp.asarray(mask)
+
+    def pdist(x):
+        d2 = jnp.sum(
+            (x[..., :, None, :] - x[..., None, :, :]) ** 2, axis=-1
+        )
+        return jnp.sqrt(jnp.maximum(d2, 1e-12))
+
+    d_ref = pdist(ref)
+    d_pred = pdist(pred)
+
+    n = pred.shape[-2]
+    eye = jnp.eye(n, dtype=bool)
+    incl = (
+        (d_ref < cutoff)
+        & ~eye
+        & mask[..., :, None]
+        & mask[..., None, :]
+    ).astype(pred.dtype)
+
+    diff = jnp.abs(d_ref - d_pred)
+    preserved = sum((diff < t).astype(pred.dtype) for t in thresholds) / len(
+        thresholds
+    )
+
+    if per_residue:
+        return jnp.sum(preserved * incl, axis=-1) / jnp.maximum(
+            jnp.sum(incl, axis=-1), 1.0
+        )
+    return jnp.sum(preserved * incl, axis=(-2, -1)) / jnp.maximum(
+        jnp.sum(incl, axis=(-2, -1)), 1.0
+    )
