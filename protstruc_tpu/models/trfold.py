@@ -64,6 +64,11 @@ class TrFoldConfig:
     # (experiments/distogram_plateau.py, 400 steps): top-1 0.74 / loss 1.62
     # post-norm vs top-1 0.93 / loss 0.90 pre-norm.
     pair_pre_norm: bool = True
+    # Rematerialize each block on the backward pass (jax.checkpoint): the
+    # per-block (B, L, L, P) pair activations are not stored, trading
+    # ~1 extra forward for O(n_blocks x L^2 P) less HBM — the lever that
+    # fits long-L training on one chip.
+    remat: bool = False
 
 
 def featurize_for_model(batch, use_pallas: bool = False, fused: bool = False,
@@ -236,8 +241,11 @@ class TrFold(nn.Module):
         self.ang_embed = nn.Dense(cfg.pair_dim, dtype=cfg.dtype)
         self.relpos_embed = nn.Embed(2 * cfg.relpos_clip + 2, cfg.pair_dim,
                                      dtype=cfg.dtype)
+        # nn.remat is a lifted transform: wrapping the class keeps the param
+        # tree identical, so checkpoints load across the remat flag
+        block_cls = nn.remat(TrFoldBlock) if cfg.remat else TrFoldBlock
         self.blocks = [
-            TrFoldBlock(cfg, name=f"block_{i}") for i in range(cfg.n_blocks)
+            block_cls(cfg, name=f"block_{i}") for i in range(cfg.n_blocks)
         ]
         if cfg.pair_pre_norm:
             # pre-norm stream: one final normalization before the heads

@@ -22,7 +22,13 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_pspecs", "shard_batch", "featurize_sharded"]
+__all__ = [
+    "make_mesh",
+    "make_multislice_mesh",
+    "batch_pspecs",
+    "shard_batch",
+    "featurize_sharded",
+]
 
 
 def _factor3(n: int):
@@ -66,25 +72,83 @@ def make_mesh(
     return Mesh(arr, axis_names)
 
 
-def batch_pspecs():
-    """PartitionSpecs for StructureBatch array fields: B over dp, L over sp."""
+def make_multislice_mesh(
+    n_slices: int,
+    axis_shapes: Optional[Sequence[int]] = None,
+    axis_names: Sequence[str] = ("dcn", "dp", "sp", "tp"),
+) -> Mesh:
+    """Mesh for multi-slice TPU pods: a leading 'dcn' data axis over slices.
+
+    Cross-slice traffic rides the data-center network, which is orders of
+    magnitude slower than ICI — so only *batch-dimension* data parallelism
+    crosses it (the 'dcn' axis carries one collective per step: the gradient
+    all-reduce); sp/tp collectives stay inside each slice's ICI domain.
+
+    Devices are grouped by their hardware ``slice_index`` when the backend
+    reports one (real multi-slice pods); otherwise the device list is split
+    evenly — which makes the same code testable on a virtual CPU mesh.
+    ``axis_shapes`` fixes the per-slice (dp, sp, tp) factorization.
+    """
+    devices = jax.devices()
+    by_slice: dict = {}
+    for d in devices:
+        by_slice.setdefault(getattr(d, "slice_index", 0), []).append(d)
+
+    if len(by_slice) >= n_slices > 1:
+        groups = [by_slice[k] for k in sorted(by_slice)[:n_slices]]
+        per = min(len(g) for g in groups)
+        groups = [g[:per] for g in groups]
+    else:  # single-slice backend (or virtual CPU): split evenly
+        if len(devices) % n_slices:
+            raise ValueError(
+                f"{len(devices)} devices not divisible into {n_slices} slices"
+            )
+        per = len(devices) // n_slices
+        groups = [devices[i * per : (i + 1) * per] for i in range(n_slices)]
+
+    if axis_shapes is None:
+        dp, sp, tp = _factor3(per)
+    else:
+        dp, sp, tp = axis_shapes
+        if dp * sp * tp != per:
+            raise ValueError(f"axis shapes {axis_shapes} != {per} devices/slice")
+
+    arr = np.asarray(groups).reshape(n_slices, dp, sp, tp)
+    return Mesh(arr, axis_names)
+
+
+def batch_pspecs(data_axes: Sequence[str] = ("dp",)):
+    """PartitionSpecs for StructureBatch array fields: B over the data
+    axes (merged, e.g. ``("dcn", "dp")`` on a multi-slice mesh), L over sp."""
+    b = tuple(data_axes) if len(data_axes) > 1 else data_axes[0]
     return {
-        "xyz": P("dp", "sp", None, None),
-        "atom_mask": P("dp", "sp", None),
-        "chain_idx": P("dp", "sp"),
-        "residue_idx": P("dp", "sp"),
-        "mu": P("dp", None),
-        "std": P("dp", None),
+        "xyz": P(b, "sp", None, None),
+        "atom_mask": P(b, "sp", None),
+        "chain_idx": P(b, "sp"),
+        "residue_idx": P(b, "sp"),
+        "mu": P(b, None),
+        "std": P(b, None),
     }
+
+
+def _data_axes(mesh: Mesh):
+    return ("dcn", "dp") if "dcn" in mesh.axis_names else ("dp",)
+
+
+def _bspec(mesh: Mesh):
+    """The batch-axis PartitionSpec entry for this mesh (merged on dcn)."""
+    axes = _data_axes(mesh)
+    return tuple(axes) if len(axes) > 1 else axes[0]
 
 
 def shard_batch(batch, mesh: Mesh):
     """device_put a StructureBatch onto the mesh with dp/sp shardings.
 
-    B must divide the dp axis size and L the sp axis size (bucket-pad first
-    — see utils/buckets.py).
+    B must divide the (product of the) data axis sizes and L the sp axis
+    size (bucket-pad first — see utils/buckets.py).  On a multi-slice mesh
+    (make_multislice_mesh) the batch axis shards over ('dcn', 'dp') merged.
     """
-    specs = batch_pspecs()
+    specs = batch_pspecs(_data_axes(mesh))
 
     def put(name, x):
         if x is None:
@@ -138,8 +202,9 @@ def _small_feats_fn(mesh: Mesh):
     from protstruc_tpu.batch import _backbone_dihedrals
     from protstruc_tpu import geometry as geom
 
-    node3 = NamedSharding(mesh, P("dp", "sp", None))
-    node4 = NamedSharding(mesh, P("dp", "sp", None, None))
+    b = _bspec(mesh)
+    node3 = NamedSharding(mesh, P(b, "sp", None))
+    node4 = NamedSharding(mesh, P(b, "sp", None, None))
 
     def small(xyz, atom_mask, chain_idx):
         d, m = _backbone_dihedrals(xyz, chain_idx, atom_mask)
@@ -154,9 +219,10 @@ def _featurize_fn(mesh: Mesh):
     from protstruc_tpu.batch import _backbone_dihedrals, _inter_residue_geometry
     from protstruc_tpu import geometry as geom
 
-    pair = NamedSharding(mesh, P("dp", "sp", None))
-    node3 = NamedSharding(mesh, P("dp", "sp", None))
-    node4 = NamedSharding(mesh, P("dp", "sp", None, None))
+    b = _bspec(mesh)
+    pair = NamedSharding(mesh, P(b, "sp", None))
+    node3 = NamedSharding(mesh, P(b, "sp", None))
+    node4 = NamedSharding(mesh, P(b, "sp", None, None))
 
     def fn(xyz, atom_mask, chain_idx):
         g = _inter_residue_geometry(xyz, atom_mask)
@@ -211,12 +277,13 @@ def _pair_maps_shardmap(mesh: Mesh, interpret: bool = None):
             maps[key] = mi[:, :, None] & mj[:, None, :]
         return maps
 
+    b = _bspec(mesh)
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("dp", "sp", None, None), P("dp", "sp", None)),
+        in_specs=(P(b, "sp", None, None), P(b, "sp", None)),
         out_specs={
-            k: P("dp", "sp", None)
+            k: P(b, "sp", None)
             for k in [
                 "d_ca", "d_cb", "d_no", "omega", "theta", "phi",
                 "d_ca_mask", "d_cb_mask", "d_no_mask",

@@ -92,3 +92,41 @@ def test_fused_path_trains():
     assert all(
         np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(grads)
     )
+
+
+class TestRemat:
+    """cfg.remat must not change values or the param tree."""
+
+    def test_remat_matches_dense(self):
+        import dataclasses
+
+        import numpy as np
+
+        import protstruc_tpu as ps
+        from protstruc_tpu.models.trfold import (
+            TrFold, TrFoldConfig, featurize_for_model, loss_fn)
+
+        rng = np.random.RandomState(0)
+        xyz = rng.randn(2, 24, 15, 3).astype(np.float32) * 5.0
+        sb = ps.StructureBatch.from_xyz(xyz)
+        feats = featurize_for_model(sb)
+
+        cfg = TrFoldConfig(node_dim=32, pair_dim=16, n_heads=2, n_blocks=2)
+        model = TrFold(cfg)
+        params = model.init(jax.random.PRNGKey(0), feats)["params"]
+
+        model_r = TrFold(dataclasses.replace(cfg, remat=True))
+        # identical param tree: init under remat produces the same structure
+        params_r = model_r.init(jax.random.PRNGKey(0), feats)["params"]
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_r)
+
+        out = model.apply({"params": params}, feats)
+        out_r = model_r.apply({"params": params}, feats)
+        np.testing.assert_allclose(
+            out["distogram_logits"], out_r["distogram_logits"], atol=1e-5
+        )
+
+        g = jax.grad(loss_fn)(params, model, feats)
+        g_r = jax.grad(loss_fn)(params, model_r, feats)
+        for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_r)):
+            np.testing.assert_allclose(a, b, atol=1e-5)

@@ -194,3 +194,58 @@ def test_diffusion_denoiser_forward():
     eps = model.apply({"params": params}, noisy, t_embed, seq, mask)
     assert eps.shape == (B, L, 3)
     assert np.isfinite(np.asarray(eps)).all()
+
+
+def test_multislice_mesh_featurize_and_train():
+    """2-slice x (2,2,1) mesh: dcn carries only batch data parallelism."""
+    import optax
+    from protstruc_tpu.parallel.mesh import make_multislice_mesh
+
+    mesh = make_multislice_mesh(2, axis_shapes=(2, 2, 1))
+    assert dict(mesh.shape) == {"dcn": 2, "dp": 2, "sp": 2, "tp": 1}
+
+    rng = np.random.RandomState(1)
+    xyz = rng.randn(4, 64, 15, 3).astype(np.float32) * 5
+    sb = StructureBatch.from_xyz(xyz)
+    sharded = shard_batch(sb, mesh)
+    assert len(sharded.xyz.sharding.device_set) == 8
+
+    # featurization matches the local result on the dcn mesh too
+    g, d, m, frames = featurize_sharded(sharded, mesh)
+    ref = sb.inter_residue_geometry()
+    np.testing.assert_allclose(
+        np.asarray(g["d_cb"]), np.asarray(ref["d_cb"]), atol=1e-5
+    )
+
+    # full train step: params replicated, batch over ('dcn', 'dp') — the
+    # gradient all-reduce is the only cross-slice collective
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from protstruc_tpu.models.trfold import (
+        TrFold, TrFoldConfig, featurize_for_model, loss_fn, make_train_state)
+
+    model = TrFold(TrFoldConfig(node_dim=16, pair_dim=8, n_heads=2, n_blocks=1))
+    feats = featurize_for_model(sb)
+    params, opt_state, tx = make_train_state(model, feats, jax.random.PRNGKey(0))
+
+    rep = NamedSharding(mesh, P())
+    bspec = NamedSharding(mesh, P(("dcn", "dp"), "sp", None))
+    f_shard = {
+        k: jax.device_put(
+            v,
+            NamedSharding(mesh, P(("dcn", "dp"), "sp"))
+            if v.ndim == 2 else bspec,
+        )
+        for k, v in feats.items()
+    }
+    params = jax.device_put(params, jax.tree_util.tree_map(lambda _: rep, params))
+
+    @jax.jit
+    def step(p, f):
+        return jax.value_and_grad(loss_fn)(p, model, f)
+
+    loss, grads = step(params, f_shard)
+    assert np.isfinite(float(loss))
+    # gradients come out replicated (all-reduced across dcn and dp)
+    leaf = jax.tree_util.tree_leaves(grads)[0]
+    assert len(leaf.sharding.device_set) == 8
