@@ -588,6 +588,26 @@ class StructureBatch:
         return _lddt(ca_s, ca_o, mask=mask, cutoff=cutoff,
                      per_residue=per_residue)
 
+    def chi_angles(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Sidechain chi1-chi4 torsions ``(B, L, 4)`` + mask (ops/chi.py).
+
+        Completes the torsion surface beyond ``backbone_dihedrals``
+        (reference protstruc.py:486-541 stops at phi/psi/omega).
+        """
+        from protstruc_tpu.ops.chi import chi_angles as _chi
+
+        return _chi(self.xyz, self.get_seq_idx(), self.atom_mask)
+
+    def rotate_chi(self, delta: jnp.ndarray) -> "StructureBatch":
+        """Rigidly rotate sidechains by ``delta (B, L, 4)`` radians per chi.
+
+        Returns a new batch (functional, like translate/rotate).
+        """
+        from protstruc_tpu.ops.chi import rotate_chi as _rot
+
+        xyz = _rot(self.xyz, self.get_seq_idx(), delta, self.atom_mask)
+        return self.replace(xyz=xyz)
+
     def get_local_xyz(self) -> jnp.ndarray:
         """Atom coordinates rotated into each residue's local frame.
 
