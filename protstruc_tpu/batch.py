@@ -608,6 +608,21 @@ class StructureBatch:
         xyz = _rot(self.xyz, self.get_seq_idx(), delta, self.atom_mask)
         return self.replace(xyz=xyz)
 
+    def clash_energy(self, tolerance: float = 0.4) -> jnp.ndarray:
+        """Inter-residue vdW-overlap clash energy, ``(B,)`` (ops/pack.py)."""
+        from protstruc_tpu.ops.pack import clash_energy as _clash
+
+        return _clash(self.xyz, self.atom_mask, self.get_seq_idx(),
+                      tolerance=tolerance)
+
+    def pack_sidechains(self, key, **kwargs) -> "StructureBatch":
+        """Repack sidechain chis to minimize clashes; returns a new batch."""
+        from protstruc_tpu.ops.pack import pack_sidechains as _pack
+
+        xyz, _ = _pack(self.xyz, self.get_seq_idx(), self.atom_mask, key,
+                       **kwargs)
+        return self.replace(xyz=xyz)
+
     def get_local_xyz(self) -> jnp.ndarray:
         """Atom coordinates rotated into each residue's local frame.
 
