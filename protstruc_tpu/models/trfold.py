@@ -73,7 +73,7 @@ class TrFoldConfig:
 
 def featurize_for_model(batch, use_pallas: bool = False, fused: bool = False,
                         n_dist_bins: int = 36, max_dist: float = 20.0,
-                        ang_dtype=jnp.bfloat16):
+                        ang_dtype=jnp.bfloat16, include_chi: bool = False):
     """StructureBatch -> model inputs (seq_idx, torsions, pair features, masks).
 
     Real structures have residues with missing backbone atoms whose torsions
@@ -103,6 +103,12 @@ def featurize_for_model(batch, use_pallas: bool = False, fused: bool = False,
         "residue_mask": batch.residue_mask,
         "chain_idx": batch.chain_idx,
     }
+    if include_chi:
+        # sidechain chi1-4 (ops/chi.py) as extra node-level torsion features;
+        # embedded alongside phi/psi/omega in TrFold.embed
+        chi, chi_mask = batch.chi_angles()
+        common["chi"] = chi
+        common["chi_mask"] = chi_mask
 
     if fused:
         from protstruc_tpu.ops.pallas_pairwise import model_features_pallas
@@ -237,6 +243,7 @@ class TrFold(nn.Module):
         cfg = self.cfg
         self.seq_embed = nn.Embed(cfg.vocab, cfg.node_dim, dtype=cfg.dtype)
         self.torsion_embed = nn.Dense(cfg.node_dim, dtype=cfg.dtype)
+        self.chi_embed = nn.Dense(cfg.node_dim, dtype=cfg.dtype)
         self.dist_embed = nn.Embed(cfg.n_dist_bins, cfg.pair_dim, dtype=cfg.dtype)
         self.ang_embed = nn.Dense(cfg.pair_dim, dtype=cfg.dtype)
         self.relpos_embed = nn.Embed(2 * cfg.relpos_clip + 2, cfg.pair_dim,
@@ -270,6 +277,14 @@ class TrFold(nn.Module):
             jnp.repeat(feats["torsion_mask"], 2, axis=-1), tor, 0.0
         ).astype(cfg.dtype)
         node = node + self.torsion_embed(tor)
+        if "chi" in feats:
+            chi_sc = jnp.concatenate(
+                [jnp.sin(feats["chi"]), jnp.cos(feats["chi"])], axis=-1
+            )
+            chi_sc = jnp.where(
+                jnp.repeat(feats["chi_mask"], 2, axis=-1), chi_sc, 0.0
+            ).astype(cfg.dtype)
+            node = node + self.chi_embed(chi_sc)
 
         # pair embedding: binned distance + angular sin/cos maps (either the
         # fused-kernel precomputed form or derived from raw angle maps)
@@ -585,4 +600,7 @@ def feats_shardings(mesh: Mesh):
         # fused-featurization layout (featurize_for_model(fused=True))
         "d_cb_bins": pair,
         "ang_sincos": NamedSharding(mesh, P("dp", "sp", None, None)),
+        # optional sidechain torsions (featurize_for_model(include_chi=True))
+        "chi": NamedSharding(mesh, P("dp", "sp", None)),
+        "chi_mask": NamedSharding(mesh, P("dp", "sp", None)),
     }

@@ -130,3 +130,30 @@ class TestRemat:
         g_r = jax.grad(loss_fn)(params, model_r, feats)
         for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_r)):
             np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestChiFeatures:
+    def test_include_chi(self):
+        import protstruc_tpu as ps
+        from protstruc_tpu.models.trfold import (
+            TrFold, TrFoldConfig, featurize_for_model, loss_fn)
+
+        sb = ps.StructureBatch.from_pdb("tests/data/1REX.pdb")
+        feats = featurize_for_model(sb, include_chi=True)
+        assert feats["chi"].shape == sb.chain_idx.shape + (4,)
+
+        cfg = TrFoldConfig(node_dim=32, pair_dim=16, n_heads=2, n_blocks=1)
+        model = TrFold(cfg)
+        params = model.init(jax.random.PRNGKey(0), feats)["params"]
+        assert "chi_embed" in params
+
+        out = model.apply({"params": params}, feats)
+        assert np.isfinite(np.asarray(out["distogram_logits"])).all()
+        g = jax.grad(loss_fn)(params, model, feats)
+        chi_g = g["chi_embed"]["kernel"]
+        assert float(jnp.abs(chi_g).sum()) > 0  # chi features used
+
+        # without chi the param tree has no chi_embed (lazy setup)
+        feats0 = featurize_for_model(sb)
+        params0 = model.init(jax.random.PRNGKey(0), feats0)["params"]
+        assert "chi_embed" not in params0
