@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 B, L, A = 256, 512, 15
 BASELINE = 256.0  # structures/s north star
-WARMUP, ITERS = 2, 10
+WARMUP, ITERS, ROUNDS = 2, 10, 3
 
 
 def log(*a):
@@ -108,15 +108,21 @@ def time_variant(fn, args, name, rtt):
     for _ in range(WARMUP):
         float(with_checksum(*args)[-1])
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = with_checksum(*args)
-    float(out[-1])  # one small fetch drains the queue
-    total = time.perf_counter() - t0
-    dt = max(total - rtt, 1e-9) / ITERS
-    sps = B / dt
-    log(f"[{name}] {dt*1e3:.1f} ms/batch -> {sps:.0f} structures/s "
-        f"(total {total*1e3:.0f} ms incl. {rtt*1e3:.0f} ms RTT)")
+    # best-of-ROUNDS: the relay adds sporadic multi-ms stalls; min-of-N is
+    # the standard way to see through scheduler/tunnel noise
+    best_dt = None
+    for _ in range(ROUNDS):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = with_checksum(*args)
+        float(out[-1])  # one small fetch drains the queue
+        total = time.perf_counter() - t0
+        dt = max(total - rtt, 1e-9) / ITERS
+        if best_dt is None or dt < best_dt:
+            best_dt = dt
+    sps = B / best_dt
+    log(f"[{name}] {best_dt*1e3:.1f} ms/batch -> {sps:.0f} structures/s "
+        f"(best of {ROUNDS}x{ITERS}, rtt {rtt*1e3:.0f} ms)")
     return sps
 
 

@@ -25,6 +25,9 @@ __all__ = [
     "featurize_backbone",
     "make_if_train_state",
     "if_train_step",
+    "if_ar_loss",
+    "ar_sample_sequence",
+    "random_decode_order",
     "sequence_recovery",
 ]
 
@@ -39,6 +42,11 @@ class InverseFoldConfig:
     n_rbf: int = 16
     max_dist: float = 20.0
     dtype: Any = jnp.float32
+    # > 0 adds ProteinMPNN-style autoregressive decoder blocks: sequence
+    # context enters through causally-masked attention over an explicit
+    # decoding order (teacher-forced in one pass at training; L-step scan
+    # at sampling — see ar_sample_sequence)
+    n_decoder_blocks: int = 0
 
 
 def featurize_backbone(batch) -> Dict[str, jnp.ndarray]:
@@ -64,6 +72,17 @@ def featurize_backbone(batch) -> Dict[str, jnp.ndarray]:
 
 
 class InverseFold(nn.Module):
+    """Encoder (+ optional AR decoder) over dense backbone geometry.
+
+    With ``cfg.n_decoder_blocks > 0`` the call also consumes
+    ``prev_seq (B, L)`` (residue identities to condition on) and
+    ``decode_rank (B, L)`` (position's index in the decoding order):
+    decoder attention at position i sees only positions with strictly
+    smaller rank — teacher forcing with the native sequence trains the
+    full conditional in one pass, exactly like ProteinMPNN's random-order
+    decoder.
+    """
+
     cfg: InverseFoldConfig = InverseFoldConfig()
 
     @nn.compact
@@ -102,6 +121,28 @@ class InverseFold(nn.Module):
             node = node + nn.Dense(cfg.node_dim, name=f"mlp_out_{i}", dtype=cfg.dtype)(
                 nn.gelu(h)
             )
+
+        if cfg.n_decoder_blocks > 0:
+            rank = feats["decode_rank"]  # (B, L) int32
+            # position i attends to j iff j was decoded strictly before i
+            causal = rank[:, None, :] < rank[:, :, None]  # (B, Li, Lj)
+            seq_ctx = nn.Embed(cfg.vocab, cfg.node_dim, name="seq_ctx",
+                               dtype=cfg.dtype)(feats["prev_seq"])
+            for i in range(cfg.n_decoder_blocks):
+                # queries: geometry only; keys/values: geometry + decoded
+                # identities — a position's own identity never reaches its
+                # own logits (teacher-forcing stays honest)
+                q_in = nn.LayerNorm(dtype=cfg.dtype, name=f"dec_ln_q_{i}")(node)
+                kv_in = nn.LayerNorm(dtype=cfg.dtype, name=f"dec_ln_kv_{i}")(
+                    node + seq_ctx
+                )
+                node = node + PairBiasAttention(tr_cfg, name=f"dec_attn_{i}")(
+                    q_in, pair, mask, extra_mask=causal, kv=kv_in
+                )
+                h = nn.Dense(cfg.node_dim * 2, name=f"dec_mlp_in_{i}",
+                             dtype=cfg.dtype)(nn.LayerNorm(dtype=cfg.dtype)(node))
+                node = node + nn.Dense(cfg.node_dim, name=f"dec_mlp_out_{i}",
+                                       dtype=cfg.dtype)(nn.gelu(h))
 
         return nn.Dense(cfg.vocab, name="logits", dtype=jnp.float32)(node)
 
@@ -142,8 +183,95 @@ def sample_sequence(
     return jnp.where(feats["residue_mask"], seq, 20).astype(jnp.int32)
 
 
+def random_decode_order(key: jax.Array, shape: Tuple[int, int]) -> jnp.ndarray:
+    """Random per-structure decoding order ranks ``(B, L)`` int32.
+
+    ``rank[b, i] = k`` means position i is decoded k-th.  ProteinMPNN trains
+    over random orders so any conditional (e.g. fixed-region redesign) is
+    available at sampling time.
+    """
+    B, L = shape
+    keys = jax.random.split(key, B)
+    perm = jax.vmap(lambda k: jax.random.permutation(k, L))(keys)
+    rank = jnp.zeros((B, L), jnp.int32)
+    return rank.at[jnp.arange(B)[:, None], perm].set(jnp.arange(L)[None])
+
+
+def if_ar_loss(params, model: InverseFold, feats, key: jax.Array) -> jnp.ndarray:
+    """Teacher-forced autoregressive CE over a random decoding order."""
+    rank = random_decode_order(key, feats["residue_mask"].shape)
+    f = dict(feats, prev_seq=feats["target_seq"], decode_rank=rank)
+    return if_loss(params, model, f)
+
+
+def ar_sample_sequence(
+    params,
+    model: InverseFold,
+    feats,
+    key: jax.Array,
+    temperature: float = 0.1,
+    fixed_mask: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Autoregressive sampling: decode positions one at a time under lax.scan.
+
+    Each of the L steps reruns the (jit-compiled) network with the grown
+    sequence context and samples the next position in the decoding order.
+    ``fixed_mask`` (True = keep) pins positions to ``feats['target_seq']``
+    and decodes them first, so designed regions condition on the fixed
+    context (CDR redesign etc.).  Returns ``(B, L)`` int32.
+    """
+    mask = feats["residue_mask"]
+    B, L = mask.shape
+    korder, kloop = jax.random.split(key)
+
+    rank = random_decode_order(korder, (B, L))
+    if fixed_mask is not None:
+        # fixed positions first (rank stays relatively ordered inside groups)
+        rank = jnp.where(fixed_mask, rank, rank + L).argsort(axis=1).argsort(axis=1)
+        rank = rank.astype(jnp.int32)
+
+    # position decoded at step k: perm[b, k]
+    perm = jnp.argsort(rank, axis=1)  # (B, L)
+
+    init_seq = jnp.full((B, L), 20, jnp.int32)
+    if fixed_mask is not None:
+        init_seq = jnp.where(fixed_mask, feats["target_seq"], init_seq)
+
+    t = jnp.maximum(temperature, 1e-4)
+    keys = jax.random.split(kloop, L)
+
+    def step(seq, inp):
+        k, kstep = inp
+        pos = perm[:, k]  # (B,)
+        f = dict(feats, prev_seq=seq, decode_rank=rank)
+        logits = model.apply({"params": params}, f)  # (B, L, V)
+        row = jnp.take_along_axis(logits, pos[:, None, None].repeat(
+            logits.shape[-1], -1), axis=1)[:, 0]     # (B, V)
+        draw = jax.random.categorical(kstep, row / t, axis=-1).astype(jnp.int32)
+        keep = (
+            fixed_mask[jnp.arange(B), pos]
+            if fixed_mask is not None
+            else jnp.zeros((B,), bool)
+        )
+        cur = seq[jnp.arange(B), pos]
+        new = jnp.where(keep, cur, draw)
+        return seq.at[jnp.arange(B), pos].set(new), None
+
+    seq, _ = jax.lax.scan(step, init_seq, (jnp.arange(L), keys))
+    return jnp.where(mask, seq, 20).astype(jnp.int32)
+
+
 def sequence_recovery(params, model, feats) -> jnp.ndarray:
-    """Fraction of valid residues whose argmax prediction matches the native."""
+    """Fraction of valid residues whose argmax prediction matches the native.
+
+    For AR models without explicit decoding context in ``feats``, the
+    standard teacher-forced form is used (native sequence as context,
+    left-to-right order).
+    """
+    if model.cfg.n_decoder_blocks > 0 and "prev_seq" not in feats:
+        B, L = feats["residue_mask"].shape
+        rank = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None], (B, L))
+        feats = dict(feats, prev_seq=feats["target_seq"], decode_rank=rank)
     logits = model.apply({"params": params}, feats)
     pred = jnp.argmax(logits, axis=-1)
     m = feats["residue_mask"]

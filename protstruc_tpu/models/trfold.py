@@ -140,17 +140,31 @@ def featurize_for_model(batch, use_pallas: bool = False, fused: bool = False,
 
 
 class PairBiasAttention(nn.Module):
-    """Multi-head node self-attention with an additive pair-derived bias."""
+    """Multi-head node self-attention with an additive pair-derived bias.
+
+    ``extra_mask`` (optional ``(B, L, L)`` bool, True = attend) composes
+    with the key mask — used by the autoregressive InverseFold decoder for
+    causal decoding-order masking.  ``kv`` (optional) provides a separate
+    key/value input stream: queries come from ``node``, keys/values from
+    ``kv`` — the AR decoder injects sequence context into keys/values only,
+    so a position's own identity never reaches its own query/logits.
+    """
 
     cfg: TrFoldConfig
 
     @nn.compact
-    def __call__(self, node, pair, mask):
+    def __call__(self, node, pair, mask, extra_mask=None, kv=None):
         cfg = self.cfg
         h, dh = cfg.n_heads, cfg.node_dim // cfg.n_heads
 
-        qkv = nn.DenseGeneral((3, h, dh), name="qkv", dtype=cfg.dtype)(node)
-        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        qkv_layer = nn.DenseGeneral((3, h, dh), name="qkv", dtype=cfg.dtype)
+        qkv = qkv_layer(node)
+        q = qkv[..., 0, :, :]
+        if kv is None:
+            k, v = qkv[..., 1, :, :], qkv[..., 2, :, :]
+        else:
+            kv3 = qkv_layer(kv)  # same projection, sequence-conditioned input
+            k, v = kv3[..., 1, :, :], kv3[..., 2, :, :]
 
         bias = nn.DenseGeneral((h,), name="pair_bias", dtype=cfg.dtype)(pair)
         bias = jnp.moveaxis(bias, -1, 1)  # (B, h, L, L)
@@ -158,8 +172,14 @@ class PairBiasAttention(nn.Module):
         logits = jnp.einsum("blhd,bmhd->bhlm", q, k) / jnp.sqrt(dh).astype(cfg.dtype)
         logits = logits + bias
         neg = jnp.asarray(-1e9, cfg.dtype)
-        logits = jnp.where(mask[:, None, None, :], logits, neg)
+        allowed = mask[:, None, None, :]
+        if extra_mask is not None:
+            allowed = allowed & extra_mask[:, None]
+        logits = jnp.where(allowed, logits, neg)
         attn = jax.nn.softmax(logits, axis=-1)
+        # a row with no allowed key would otherwise softmax to uniform
+        # weights over the -1e9 logits and leak every value in
+        attn = jnp.where(allowed, attn, 0.0)
 
         out = jnp.einsum("bhlm,bmhd->blhd", attn, v)
         return nn.DenseGeneral(cfg.node_dim, axis=(-2, -1), name="out", dtype=cfg.dtype)(out)
