@@ -38,7 +38,6 @@ def main():
         InverseFold, InverseFoldConfig, ar_sample_sequence, featurize_backbone,
         if_ar_loss)
     from protstruc_tpu.models.ipa import backbone_xyz_from_frames, frames_from_backbone
-    from protstruc_tpu.pdbio.writer import to_pdb
     from protstruc_tpu.vocab import AA
 
     # ------------------------------------------------------------------ data
@@ -152,9 +151,9 @@ def main():
           f"SS classes {np.unique(np.asarray(packed.secondary_structure())).tolist()}")
 
     os.makedirs("out", exist_ok=True)
-    x = np.asarray(packed.xyz[0])
-    coords = np.stack([x[:, 0], x[:, 1], x[:, 2], x[:, 3], x[:, 4]])
-    to_pdb("out/designed.pdb", coords, [seq], ["A"])
+    from protstruc_tpu.pdbio.writer import structure_batch_to_pdb
+
+    structure_batch_to_pdb(packed, "out/designed.pdb")  # all-atom
     print("wrote out/designed.pdb")
 
 

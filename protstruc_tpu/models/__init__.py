@@ -35,6 +35,8 @@ from protstruc_tpu.models.framediff import (
     FrameDiffConfig,
     framediff_loss,
     framediff_sample,
+    frameflow_loss,
+    frameflow_sample,
 )
 from protstruc_tpu.models.ipa import (
     FoldModel,

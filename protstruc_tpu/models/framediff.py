@@ -35,6 +35,8 @@ __all__ = [
     "corrupt_frames",
     "framediff_loss",
     "framediff_sample",
+    "frameflow_loss",
+    "frameflow_sample",
     "sigma_schedule",
 ]
 
@@ -192,6 +194,83 @@ def framediff_loss(
     ang = rotation_angle(rel)
     rot_loss = jnp.sum(w * ang**2) / denom
     return trans_mse + rot_loss
+
+
+def frameflow_loss(
+    params,
+    model: FrameDenoiser,
+    key: jax.Array,
+    r0: jnp.ndarray,
+    x0: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: FrameDiffConfig,
+) -> jnp.ndarray:
+    """Flow-matching objective on SE(3) (FrameFlow-style), x1-prediction form.
+
+    Couples clean frames with pure noise along straight interpolants —
+    linear on R^3, geodesic on SO(3) — and trains the same denoiser to
+    recover the clean endpoint from the interpolated state at a uniform
+    time.  The x1-parameterization makes the network and weights shareable
+    with the diffusion objective; only the sampler differs (an ODE —
+    :func:`frameflow_sample` integrates in far fewer steps than ancestral
+    diffusion).
+    """
+    kt, kx, kr = jax.random.split(key, 3)
+    B, L = x0.shape[:2]
+    t = jax.random.uniform(kt, (B,))  # 0 = clean, 1 = noise (diffusion's T)
+
+    x_noise = jax.random.normal(kx, x0.shape)
+    r_noise = sample_igso3(kr, jnp.full((B, L), cfg.sigma_max), (B, L))
+
+    tb = t[:, None, None]
+    x_t = (1.0 - tb) * x0 + tb * x_noise
+    r_t = geodesic_interp(r0, r_noise, t[:, None])
+
+    r_hat, x_hat = model.apply({"params": params}, r_t, x_t, t, mask)
+
+    w = mask.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    trans = jnp.sum(w[..., None] * (x_hat - x0) ** 2) / denom
+    ang = rotation_angle(jnp.einsum("blji,bljk->blik", r_hat, r0))
+    rot = jnp.sum(w * ang**2) / denom
+    return trans + rot
+
+
+def frameflow_sample(
+    params,
+    model: FrameDenoiser,
+    key: jax.Array,
+    shape: Tuple[int, int],
+    cfg: FrameDiffConfig,
+    n_steps: int = 10,
+):
+    """Euler ODE sampling of the frame flow: noise -> frames in few steps.
+
+    At state (r_t, x_t) the model predicts the clean endpoint; the Euler
+    step moves a fraction ``dt/t`` of the way toward it — linearly in R^3,
+    geodesically on SO(3).  10 steps typically match 100-step ancestral
+    diffusion for this parameterization.
+    """
+    B, L = shape
+    k0, k1 = jax.random.split(key)
+    x = jax.random.normal(k0, (B, L, 3))
+    r = sample_igso3(k1, jnp.full((B, L), cfg.sigma_max), (B, L))
+    mask = jnp.ones((B, L), bool)
+
+    ts = jnp.linspace(1.0, 0.0, n_steps + 1)
+
+    def step(carry, i):
+        r, x = carry
+        t, t_next = ts[i], ts[i + 1]
+        t_b = jnp.full((B,), t)
+        r_hat, x_hat = model.apply({"params": params}, r, x, t_b, mask)
+        frac = jnp.where(t > 1e-6, (t - t_next) / t, 1.0)
+        x = x + frac * (x_hat - x)
+        r = geodesic_interp(r, r_hat, frac)
+        return (r, x), None
+
+    (r, x), _ = jax.lax.scan(step, (r, x), jnp.arange(n_steps))
+    return r, x
 
 
 def framediff_sample(

@@ -26,6 +26,7 @@ from protstruc_tpu.ops.diffusion import (
     forward_marginal,
 )
 from protstruc_tpu.ops.chi import chi_angles, chi_symmetry_mask, rotate_chi
+from protstruc_tpu.ops.graft import build_sidechains, sidechain_library
 from protstruc_tpu.ops.pack import clash_energy, pack_sidechains
 from protstruc_tpu.ops.so3 import (
     geodesic_interp,

@@ -178,3 +178,77 @@ class TestFrameDiff:
                 first = float(l)
             last = float(l)
         assert last < first
+
+
+class TestFrameFlow:
+    def _setup(self):
+        from protstruc_tpu.models.framediff import FrameDenoiser, FrameDiffConfig
+
+        cfg = FrameDiffConfig(node_dim=32, pair_dim=16, n_heads=2, n_iter=1, T=8)
+        model = FrameDenoiser(cfg)
+        B, L = 2, 10
+        r0 = random_rotations(jax.random.PRNGKey(20), (B, L))
+        x0 = jax.random.normal(jax.random.PRNGKey(21), (B, L, 3))
+        mask = jnp.ones((B, L), bool)
+        params = model.init(jax.random.PRNGKey(22), r0, x0,
+                            jnp.zeros((B,)), mask)["params"]
+        return cfg, model, params, r0, x0, mask
+
+    def test_loss_and_grads(self):
+        from protstruc_tpu.models.framediff import frameflow_loss
+
+        cfg, model, params, r0, x0, mask = self._setup()
+        val, g = jax.value_and_grad(
+            lambda p: frameflow_loss(p, model, jax.random.PRNGKey(23),
+                                     r0, x0, mask, cfg)
+        )(params)
+        assert np.isfinite(float(val))
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree_util.tree_leaves(g))
+
+    def test_ode_sample_valid(self):
+        from protstruc_tpu.models.framediff import frameflow_sample
+
+        cfg, model, params, *_ = self._setup()
+        r, x = jax.jit(
+            lambda p, k: frameflow_sample(p, model, k, (2, 10), cfg, n_steps=6)
+        )(params, jax.random.PRNGKey(24))
+        assert r.shape == (2, 10, 3, 3) and x.shape == (2, 10, 3)
+        assert np.isfinite(np.asarray(r)).all()
+        assert np.isfinite(np.asarray(x)).all()
+        eye = jnp.einsum("blij,blkj->blik", r, r)
+        np.testing.assert_allclose(eye, jnp.broadcast_to(jnp.eye(3), eye.shape),
+                                   atol=1e-3)
+
+    def test_overfit(self):
+        import optax
+        from protstruc_tpu.models.framediff import frameflow_loss
+
+        cfg, model, params, r0, x0, mask = self._setup()
+        tx = optax.adam(3e-3)
+        opt = tx.init(params)
+
+        # per-step losses are extremely noisy in the random (t, noise) draw
+        # at B=2; evaluate a fixed 8-key average before vs after training
+        eval_keys = [jax.random.PRNGKey(900 + i) for i in range(8)]
+
+        @jax.jit
+        def eval_loss(p):
+            return jnp.mean(jnp.stack([
+                frameflow_loss(p, model, k, r0, x0, mask, cfg)
+                for k in eval_keys
+            ]))
+
+        @jax.jit
+        def step(p, o, k):
+            l, g = jax.value_and_grad(
+                lambda q: frameflow_loss(q, model, k, r0, x0, mask, cfg)
+            )(p)
+            u, o = tx.update(g, o, p)
+            return optax.apply_updates(p, u), o, l
+
+        before = float(eval_loss(params))
+        for i in range(40):
+            params, opt, _ = step(params, opt, jax.random.PRNGKey(300 + i))
+        after = float(eval_loss(params))
+        assert after < before
