@@ -78,7 +78,9 @@ def test_download_writes_cache_then_hits_it(isolated_cache, mock_urlopen, monkey
 def test_download_failure_raises_actionable_error(isolated_cache, mock_urlopen):
     with pytest.raises(IOError, match="PROTSTRUC_TPU_PDB_CACHE"):
         fetch_mod.fetch_pdb("0XXX")  # no such fixture -> mocked URLError
-    assert len(mock_urlopen) == 1
+    # both formats attempted (.pdb then the .cif fallback) before raising
+    assert len(mock_urlopen) == 2
+    assert mock_urlopen[0].endswith(".pdb") and mock_urlopen[1].endswith(".cif")
 
 
 def test_from_pdb_id_via_download(isolated_cache, mock_urlopen):
@@ -88,3 +90,43 @@ def test_from_pdb_id_via_download(isolated_cache, mock_urlopen):
     assert sb.batch_size == 1
     assert int(sb.get_total_lengths()[0]) == 130  # reference invariant
     assert np.isfinite(np.asarray(sb.xyz)[np.asarray(sb.atom_mask)]).all()
+
+
+def test_cif_fallback_when_pdb_unavailable(isolated_cache, monkeypatch):
+    """Large structures have no legacy .pdb at RCSB: the fetcher must fall
+    back to .cif (which the parser sniffs by content, not extension)."""
+    import contextlib
+    import io
+    import urllib.error
+    import urllib.request
+
+    # serve only the .cif variant (synthesized from a vendored PDB by the
+    # repo's own mmCIF writer)
+    import protstruc_tpu as ps
+    from protstruc_tpu.pdbio.writer import structure_batch_to_cif
+
+    sb = ps.StructureBatch.from_pdb(str(DATA_DIR / "1REX.pdb"))
+    import tempfile
+
+    cif_path = tempfile.mktemp(suffix=".cif")
+    structure_batch_to_cif(sb, cif_path)
+    cif_bytes = open(cif_path, "rb").read()
+
+    calls = []
+
+    @contextlib.contextmanager
+    def fake_urlopen(url, timeout=None):
+        calls.append(url)
+        if url.endswith(".pdb"):
+            raise urllib.error.HTTPError(url, 404, "Not Found", {}, None)
+        yield io.BytesIO(cif_bytes)
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+
+    path = fetch_mod.fetch_pdb("9BIG")
+    assert path.endswith(".cif")
+    assert len(calls) == 2 and calls[0].endswith(".pdb") and calls[1].endswith(".cif")
+
+    # the fetched cif parses into the same structure
+    sb2 = ps.StructureBatch.from_pdb_id("9BIG")
+    assert sb2.n_residues == sb.n_residues
