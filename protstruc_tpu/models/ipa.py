@@ -300,6 +300,7 @@ def fape_loss(
     mask: jnp.ndarray,
     clamp: float = 10.0,
     eps: float = 1e-8,
+    unclamped_frac: float = 0.1,
 ) -> jnp.ndarray:
     """Frame-aligned point error (AF2 eq. 28), masked and clamped.
 
@@ -328,11 +329,15 @@ def fape_loss(
     # double-where guard around the sqrt (gradient at identical structures)
     safe = jnp.where(d2 > eps, d2, 1.0)
     d = jnp.where(d2 > eps, jnp.sqrt(safe), 0.0)
-    d = jnp.minimum(d, clamp) / clamp
+    # AF2 recipe: mostly clamped (local accuracy) + a small unclamped
+    # fraction so long-range errors keep a gradient (global arrangement)
+    d_cl = jnp.minimum(d, clamp) / clamp
+    if unclamped_frac > 0.0:
+        d_cl = (1.0 - unclamped_frac) * d_cl + unclamped_frac * (d / clamp)
 
     atom_mask = jnp.repeat(mask, A, axis=1)  # (B, Lj*A)
     w = mask[:, :, None] * atom_mask[:, None, :]
-    return jnp.sum(d * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return jnp.sum(d_cl * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def fold_loss_fn(params, model: FoldModel, feats: Dict[str, jnp.ndarray],

@@ -175,10 +175,18 @@ class TestFAPE:
         np.testing.assert_allclose(float(base), float(moved), atol=1e-4)
 
     def test_clamp(self):
+        # scaling is a NON-rigid distortion (a pure shift would be a rigid
+        # translation, to which FAPE is invariant): local frames see their
+        # neighbors hundreds of angstroms off target
         xyz, frames, mask = self._structs(jax.random.PRNGKey(13))
-        far = xyz + 1e4
-        val = fape_loss(frames_from_backbone(far), far, frames, xyz, mask)
-        assert float(val) <= 1.0 + 1e-6  # clamped and normalized
+        far = xyz * 100.0
+        val = fape_loss(frames_from_backbone(far), far, frames, xyz, mask,
+                        unclamped_frac=0.0)
+        assert float(val) <= 1.0 + 1e-6  # fully clamped and normalized
+
+        # the default keeps a long-range gradient (10% unclamped, AF2-style)
+        val_mix = fape_loss(frames_from_backbone(far), far, frames, xyz, mask)
+        assert float(val_mix) > 1.0
 
 
 class TestFoldModel:
