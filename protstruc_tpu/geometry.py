@@ -25,7 +25,6 @@ from __future__ import annotations
 import math
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 
 from protstruc_tpu.constants import ideal

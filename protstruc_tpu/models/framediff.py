@@ -18,7 +18,7 @@ protstruc.py:543-587).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

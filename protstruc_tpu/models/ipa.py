@@ -348,8 +348,6 @@ def fold_loss_fn(params, model: FoldModel, feats: Dict[str, jnp.ndarray],
     at missing atoms; residues with any missing backbone atom are dropped
     from the FAPE mask).
     """
-    from protstruc_tpu.models import trfold as tf
-
     out = model.apply({"params": params}, feats)
 
     # trunk losses, reusing the TrFold formulation on the same outputs

@@ -24,7 +24,7 @@ stand-in for triangle multiplication at O(L^2 D + L^2 P) flops).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 
 __all__ = ["hbond_energy_map", "assign_secondary_structure", "SS_COIL", "SS_HELIX", "SS_STRAND"]

@@ -10,7 +10,7 @@ chunked broadcasts — no neighbor lists, no ragged gathers).
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,7 @@ _VDW = {"C": 1.70, "N": 1.55, "O": 1.52, "S": 1.80}
 def atom_radii_table() -> np.ndarray:
     """``(21, 15)`` float32: vdW radius of each heavy-atom slot per residue
     type (0.0 for empty slots), from the vocab heavy-atom layout."""
-    from protstruc_tpu.vocab import AA, RESTYPE_HEAVY_ATOMS
+    from protstruc_tpu.vocab import RESTYPE_HEAVY_ATOMS
 
     table = np.zeros((21, 15), np.float32)
     for aa, names in RESTYPE_HEAVY_ATOMS.items():

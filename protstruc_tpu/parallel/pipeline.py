@@ -13,12 +13,11 @@ models/trfold.py; ep in models/moe.py).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 __all__ = ["pipeline_forward", "stack_stage_params"]

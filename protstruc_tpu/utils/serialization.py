@@ -9,7 +9,6 @@ this helper covers the data container.
 
 from __future__ import annotations
 
-import io
 import json
 from typing import Union
 
