@@ -1,0 +1,50 @@
+"""CLI (`python -m protstruc_tpu`) tests — in-process via main()."""
+
+import json
+
+import numpy as np
+
+from protstruc_tpu.__main__ import main
+
+
+def test_featurize_roundtrip(tmp_path, capsys):
+    out = tmp_path / "f.npz"
+    rc = main(["featurize", "tests/data/15c8_HL.pdb", "--out", str(out)])
+    assert rc == 0
+    data = np.load(out)
+    assert "d_cb" in data and "dihedrals" in data and "frames" in data
+    L = data["d_cb"].shape[1]
+    assert data["d_cb"].shape == (1, L, L)
+    assert data["frames"].shape == (1, L, 3, 3)
+
+
+def test_analyze_json(capsys):
+    rc = main(["analyze", "tests/data/1REX.pdb"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["n_structures"] == 1
+    assert report["n_residues"] == [130]
+    assert 10.0 < report["radius_of_gyration_A"][0] < 20.0
+    assert 0.1 < report["helix_frac"][0] < 0.6
+
+
+def test_convert_pdb_to_cif_and_back(tmp_path, capsys):
+    cif = tmp_path / "x.cif"
+    rc = main(["convert", "tests/data/15c8_HL.pdb", str(cif)])
+    assert rc == 0
+
+    import protstruc_tpu as ps
+
+    orig = ps.StructureBatch.from_pdb("tests/data/15c8_HL.pdb")
+    conv = ps.StructureBatch.from_pdb(str(cif))
+    assert conv.n_residues == orig.n_residues
+    a, b = np.asarray(orig.xyz), np.asarray(conv.xyz)
+    m = np.asarray(orig.atom_mask & conv.atom_mask)
+    np.testing.assert_allclose(a[m], b[m], atol=2e-3)
+
+
+def test_info(capsys):
+    rc = main(["info"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert "backend" in report and "native_parser" in report
