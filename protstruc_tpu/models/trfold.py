@@ -69,6 +69,11 @@ class TrFoldConfig:
     # ~1 extra forward for O(n_blocks x L^2 P) less HBM — the lever that
     # fits long-L training on one chip.
     remat: bool = False
+    # Pair-update mechanism: "gated_mix" (default — gated row/column mixing,
+    # a lightweight O(L^2 P) stand-in) or "triangle" (true Evoformer
+    # triangle multiplicative updates, outgoing + incoming, each a gated
+    # einsum over the third residue — the AF2 pair-refinement mechanism).
+    pair_update: str = "gated_mix"
 
 
 def featurize_for_model(batch, use_pallas: bool = False, fused: bool = False,
@@ -221,6 +226,42 @@ class PairUpdate(nn.Module):
         return nn.LayerNorm(dtype=cfg.dtype)(pair + mix)
 
 
+class TriangleMultiplication(nn.Module):
+    """AF2-style triangle multiplicative update (Algorithm 11/12).
+
+    ``outgoing=True``: ``z_ij <- g_ij * Linear(LN(sum_k a_ik b_jk))``;
+    ``outgoing=False`` contracts over the incoming edges
+    (``sum_k a_ki b_kj``).  Each contraction is one (L, L) x (L, L) batched
+    matmul per channel — MXU-native, O(L^3 C) flops.
+    """
+
+    cfg: TrFoldConfig
+    outgoing: bool = True
+
+    @nn.compact
+    def __call__(self, pair, mask):
+        cfg = self.cfg
+        C = cfg.pair_dim
+        src = nn.LayerNorm(dtype=cfg.dtype, name="ln_in")(pair)
+        m = (mask[:, :, None] & mask[:, None, :]).astype(cfg.dtype)[..., None]
+
+        a = nn.sigmoid(nn.Dense(C, name="a_gate", dtype=cfg.dtype)(src)) * \
+            nn.Dense(C, name="a_proj", dtype=cfg.dtype)(src) * m
+        b = nn.sigmoid(nn.Dense(C, name="b_gate", dtype=cfg.dtype)(src)) * \
+            nn.Dense(C, name="b_proj", dtype=cfg.dtype)(src) * m
+
+        if self.outgoing:
+            prod = jnp.einsum("bikc,bjkc->bijc", a, b)
+        else:
+            prod = jnp.einsum("bkic,bkjc->bijc", a, b)
+
+        g = nn.sigmoid(nn.Dense(C, name="out_gate", dtype=cfg.dtype)(src))
+        upd = nn.Dense(C, name="out_proj", dtype=cfg.dtype)(
+            nn.LayerNorm(dtype=cfg.dtype, name="ln_out")(prod)
+        )
+        return g * upd
+
+
 class TrFoldBlock(nn.Module):
     cfg: TrFoldConfig
 
@@ -244,7 +285,18 @@ class TrFoldBlock(nn.Module):
             mlp = nn.Dense(cfg.node_dim * 4, name="mlp_in", dtype=cfg.dtype)(mlp_in)
             mlp = nn.Dense(cfg.node_dim, name="mlp_out", dtype=cfg.dtype)(nn.gelu(mlp))
         node = node + mlp
-        pair = PairUpdate(cfg, name="pair_update")(node, pair, mask)
+        if cfg.pair_update == "triangle":
+            # outer-product node->pair injection, then the two triangle
+            # multiplicative updates on a pre-norm residual stream
+            a = nn.Dense(cfg.pair_dim, name="outer_a", dtype=cfg.dtype)(node)
+            b = nn.Dense(cfg.pair_dim, name="outer_b", dtype=cfg.dtype)(node)
+            pair = pair + a[:, :, None, :] * b[:, None, :, :]
+            pair = pair + TriangleMultiplication(
+                cfg, outgoing=True, name="tri_out")(pair, mask)
+            pair = pair + TriangleMultiplication(
+                cfg, outgoing=False, name="tri_in")(pair, mask)
+        else:
+            pair = PairUpdate(cfg, name="pair_update")(node, pair, mask)
         return node, pair, aux
 
 

@@ -157,3 +157,68 @@ class TestChiFeatures:
         feats0 = featurize_for_model(sb)
         params0 = model.init(jax.random.PRNGKey(0), feats0)["params"]
         assert "chi_embed" not in params0
+
+
+class TestTriangleUpdate:
+    def test_forward_and_grads(self):
+        import dataclasses
+
+        import protstruc_tpu as ps
+        from protstruc_tpu.models.trfold import (
+            TrFold, TrFoldConfig, featurize_for_model, loss_fn)
+
+        rng = np.random.RandomState(0)
+        sb = ps.StructureBatch.from_xyz(
+            rng.randn(2, 20, 15, 3).astype(np.float32) * 5.0
+        )
+        feats = featurize_for_model(sb)
+        cfg = TrFoldConfig(node_dim=32, pair_dim=16, n_heads=2, n_blocks=1,
+                           pair_update="triangle")
+        model = TrFold(cfg)
+        params = model.init(jax.random.PRNGKey(0), feats)["params"]
+        assert "tri_out" in params["block_0"] and "tri_in" in params["block_0"]
+
+        out = model.apply({"params": params}, feats)
+        assert np.isfinite(np.asarray(out["distogram_logits"])).all()
+        g = jax.grad(loss_fn)(params, model, feats)
+        tri = g["block_0"]["tri_out"]
+        assert any(float(jnp.abs(x).sum()) > 0
+                   for x in jax.tree_util.tree_leaves(tri))
+
+    def test_overfit_beats_or_matches_gated_mix(self):
+        """Distogram overfit: triangle updates should learn at least as well
+        as the gated-mix stand-in on the same budget."""
+        import optax
+
+        import protstruc_tpu as ps
+        from protstruc_tpu.models.trfold import (
+            TrFold, TrFoldConfig, featurize_for_model, loss_fn)
+
+        sb = ps.StructureBatch.from_pdb("tests/data/15c8_HL.pdb")
+        sel = np.zeros(sb.chain_idx.shape, bool)
+        sel[:, :48] = True
+        sb = sb.residue_masked_select(jnp.asarray(sel))
+        feats = featurize_for_model(sb)
+
+        def train(mechanism, steps=60):
+            cfg = TrFoldConfig(node_dim=32, pair_dim=16, n_heads=2,
+                               n_blocks=1, pair_update=mechanism)
+            model = TrFold(cfg)
+            params = model.init(jax.random.PRNGKey(0), feats)["params"]
+            tx = optax.adam(2e-3)
+            opt = tx.init(params)
+
+            @jax.jit
+            def step(p, o):
+                l, g = jax.value_and_grad(loss_fn)(p, model, feats)
+                u, o = tx.update(g, o, p)
+                return optax.apply_updates(p, u), o, l
+
+            for _ in range(steps):
+                params, opt, l = step(params, opt)
+            return float(l)
+
+        l_tri = train("triangle")
+        l_mix = train("gated_mix")
+        assert np.isfinite(l_tri) and np.isfinite(l_mix)
+        assert l_tri < l_mix * 1.25  # at least in the same league
