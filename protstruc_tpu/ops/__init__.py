@@ -6,7 +6,8 @@ from protstruc_tpu.ops.pairwise import (
     pairwise_planar_angle_maps,
     full_pairwise_distance_matrix,
 )
-from protstruc_tpu.ops.metrics import gdt_ts, lddt, rmsd, superimpose, tm_score
+from protstruc_tpu.ops.metrics import (dockq, fnat, gdt_ts, interface_rmsd,
+                                        lddt, rmsd, superimpose, tm_score)
 from protstruc_tpu.ops.surface import contact_order, radius_of_gyration, sasa
 from protstruc_tpu.ops.histogram import contact_map, distance_histogram, distogram_bins
 from protstruc_tpu.ops.rigid import (

@@ -12,7 +12,8 @@ import jax.numpy as jnp
 
 from protstruc_tpu import geometry as geom
 
-__all__ = ["rmsd", "superimpose", "tm_score", "gdt_ts", "lddt"]
+__all__ = ["rmsd", "superimpose", "tm_score", "gdt_ts", "lddt",
+           "fnat", "interface_rmsd", "dockq"]
 
 
 def _masked_mean(x, w, axis):
@@ -151,3 +152,105 @@ def lddt(
     return jnp.sum(preserved * incl, axis=(-2, -1)) / jnp.maximum(
         jnp.sum(incl, axis=(-2, -1)), 1.0
     )
+
+
+# ---------------------------------------------------------------------------
+# complex (docking) evaluation: DockQ components
+# ---------------------------------------------------------------------------
+
+
+def _min_interchain_dist(xyz, atom_mask, rec_mask, lig_mask):
+    """Per residue-pair minimum heavy-atom distance between the two groups.
+
+    ``xyz (B, L, A, 3)`` -> ``(B, L, L)`` with +inf where either residue is
+    outside its group or atoms are missing.
+    """
+    ok = atom_mask & jnp.isfinite(xyz).all(-1)
+    x = jnp.nan_to_num(xyz, nan=0.0)
+    d2 = jnp.sum(
+        (x[:, :, None, :, None, :] - x[:, None, :, None, :, :]) ** 2, axis=-1
+    )  # (B, L, L, A, A)
+    # pairs where either atom is missing are no contact (masking the pair,
+    # not parking coordinates — two parked atoms would sit 0 A apart)
+    atom_pair_ok = ok[:, :, None, :, None] & ok[:, None, :, None, :]
+    d2 = jnp.where(atom_pair_ok, d2, jnp.inf)
+    d = jnp.sqrt(jnp.min(d2, axis=(-2, -1)))
+    pair_ok = rec_mask[:, :, None] & lig_mask[:, None, :]
+    return jnp.where(pair_ok, d, jnp.inf)
+
+
+def fnat(model_xyz, native_xyz, atom_mask, rec_mask, lig_mask,
+         cutoff: float = 5.0) -> jnp.ndarray:
+    """Fraction of native inter-chain contacts preserved in the model.
+
+    A contact is a receptor-ligand residue pair with any heavy-atom pair
+    within ``cutoff`` A (the DockQ definition).  Returns ``(B,)``.
+    """
+    d_nat = _min_interchain_dist(native_xyz, atom_mask, rec_mask, lig_mask)
+    d_mod = _min_interchain_dist(model_xyz, atom_mask, rec_mask, lig_mask)
+    native_contacts = d_nat < cutoff
+    kept = native_contacts & (d_mod < cutoff)
+    n = jnp.maximum(jnp.sum(native_contacts, axis=(1, 2)), 1)
+    return jnp.sum(kept, axis=(1, 2)) / n
+
+
+def interface_rmsd(model_xyz, native_xyz, atom_mask, rec_mask, lig_mask,
+                   cutoff: float = 10.0) -> jnp.ndarray:
+    """Backbone RMSD over native-interface residues after superposition.
+
+    Interface = residues of either group with any heavy atom within
+    ``cutoff`` A of the other group in the *native* structure (DockQ
+    definition); RMSD over their N/CA/C/O atoms after mask-weighted Kabsch
+    on the same set.  Returns ``(B,)``.
+    """
+    d_nat = _min_interchain_dist(native_xyz, atom_mask, rec_mask, lig_mask)
+    contact = d_nat < cutoff
+    iface = (
+        (contact.any(axis=2) & rec_mask)
+        | (contact.any(axis=1) & lig_mask)
+    )  # (B, L)
+
+    bb_ok = (
+        atom_mask[:, :, :4]
+        & jnp.isfinite(native_xyz[:, :, :4]).all(-1)
+        & jnp.isfinite(model_xyz[:, :, :4]).all(-1)
+    )
+    w = (iface[:, :, None] & bb_ok)  # (B, L, 4)
+    B, L = iface.shape
+    a = jnp.nan_to_num(model_xyz[:, :, :4], nan=0.0).reshape(B, L * 4, 3)
+    b = jnp.nan_to_num(native_xyz[:, :, :4], nan=0.0).reshape(B, L * 4, 3)
+    return rmsd(a, b, mask=w.reshape(B, L * 4), align=True)
+
+
+def dockq(model_xyz, native_xyz, atom_mask, rec_mask, lig_mask) -> jnp.ndarray:
+    """DockQ score (Basu & Wallner 2016), ``(B,)`` in [0, 1].
+
+    ``DockQ = (fnat + 1/(1+(iRMS/1.5)^2) + 1/(1+(LRMS/8.5)^2)) / 3`` with
+    LRMS the ligand backbone RMSD after superposition on the receptor
+    backbone.  Quality bands: >0.23 acceptable, >0.49 medium, >0.80 high.
+    """
+    f = fnat(model_xyz, native_xyz, atom_mask, rec_mask, lig_mask)
+    irms = interface_rmsd(model_xyz, native_xyz, atom_mask, rec_mask, lig_mask)
+
+    # LRMS: superpose on receptor backbone, measure ligand backbone
+    B, L = rec_mask.shape
+    bb_ok = (
+        atom_mask[:, :, :4]
+        & jnp.isfinite(native_xyz[:, :, :4]).all(-1)
+        & jnp.isfinite(model_xyz[:, :, :4]).all(-1)
+    )
+    a = jnp.nan_to_num(model_xyz[:, :, :4], nan=0.0).reshape(B, L * 4, 3)
+    b = jnp.nan_to_num(native_xyz[:, :, :4], nan=0.0).reshape(B, L * 4, 3)
+    w_rec = (rec_mask[:, :, None] & bb_ok).reshape(B, L * 4)
+    w_lig = (lig_mask[:, :, None] & bb_ok).reshape(B, L * 4)
+
+    r, t = geom.masked_kabsch(a, b, w_rec)
+    a_sup = jnp.einsum("...ij,...nj->...ni", r, a) + t[..., None, :]
+    sq = jnp.sum((a_sup - b) ** 2, axis=-1)
+    lrms = jnp.sqrt(_masked_mean(sq, w_lig, axis=-1))
+
+    return (
+        f
+        + 1.0 / (1.0 + (irms / 1.5) ** 2)
+        + 1.0 / (1.0 + (lrms / 8.5) ** 2)
+    ) / 3.0
