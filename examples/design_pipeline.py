@@ -135,7 +135,15 @@ def main():
     from protstruc_tpu.ops.graft import build_sidechains, sidechain_library
 
     lib = sidechain_library(sb)
-    bb5 = jnp.concatenate([bb[:, :, :3], bb[:, :, 3:4]], axis=2)  # N/CA/C (+CB)
+    # 5-slot backbone in the 15-slot layout order N/CA/C/O/CB: bb's slot 3
+    # is CB (backbone_xyz_from_frames layout), so a real carbonyl O must be
+    # placed ideally from the frame before slotting CB into slot 4
+    from protstruc_tpu import geometry as geom
+
+    o = geom.ideal_carbonyl_oxygen(bb[:, :, 0], bb[:, :, 1], bb[:, :, 2])
+    bb5 = jnp.concatenate(
+        [bb[:, :, :3], o[:, :, None], bb[:, :, 3:4]], axis=2
+    )  # N/CA/C/O/CB
     all_xyz, all_mask = build_sidechains(bb5, seq_idx, lib)
 
     full = ps.StructureBatch.from_xyz(

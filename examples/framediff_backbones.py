@@ -86,12 +86,14 @@ def main():
     )(params, jax.random.PRNGKey(7))
     bb = backbone_xyz_from_frames(r, x * cfg.trans_scale)  # (n, L, 4, 3) N/CA/C/CB
 
+    from protstruc_tpu import geometry as geom
+
     os.makedirs("out", exist_ok=True)
+    o_all = np.asarray(geom.ideal_carbonyl_oxygen(bb[:, :, 0], bb[:, :, 1], bb[:, :, 2]))
     for i in range(n_samples):
         # writer layout: (5, L, 3) N/CA/C/O/CB — place O ideally from the frame
         n_, ca_, c_, cb_ = (np.asarray(bb[i, :, j]) for j in range(4))
-        o_ = c_ + (c_ - ca_) * 0.35  # crude carbonyl direction for visualization
-        coords = np.stack([n_, ca_, c_, o_, cb_])
+        coords = np.stack([n_, ca_, c_, o_all[i], cb_])
         seq = "A" * frag_len
         fp = f"out/framediff_sample_{i}.pdb"
         to_pdb(fp, coords, [seq], ["A"])

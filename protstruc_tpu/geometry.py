@@ -190,6 +190,22 @@ def ideal_backbone_coordinates(size, include_cb: bool = False) -> jnp.ndarray:
     return jnp.broadcast_to(xyz, tuple(size) + xyz.shape)
 
 
+def ideal_carbonyl_oxygen(n, ca, c) -> jnp.ndarray:
+    """Place backbone carbonyl O ideally from N/CA/C coordinates.
+
+    O_i is placed from (N_{i+1}, CA_i, C_i) with ideal bond length ``CO``,
+    planar angle ``ACO`` and the peptide-bond planarity dihedral ``NACO``
+    (constants/ideal.py; reference geometry.py:377-385 uses the same recipe
+    inside ``initialize_backbone_with_mds``).  The residue axis is the
+    second-to-last: inputs ``(..., L, 3)`` -> output ``(..., L, 3)``.  For
+    the chain-terminal residue the rolled N wraps to residue 0, giving a
+    geometrically valid (bond lengths/angles ideal) though
+    psi-arbitrary placement — acceptable for a terminal carbonyl.
+    """
+    n_next = jnp.roll(n, shift=-1, axis=-2)
+    return place_fourth_atom(n_next, ca, c, ideal.CO, ideal.ACO, ideal.NACO)
+
+
 def fix_chirality(coords) -> jnp.ndarray:
     """Mirror the z axis iff the backbone is left-handed after MDS embedding.
 

@@ -158,6 +158,10 @@ class InvariantPointAttention(nn.Module):
 
         logits = jnp.where(mask[:, None, None, :], logits, -1e9)
         a = jax.nn.softmax(logits, axis=-1)  # (B, H, L, L)
+        # post-softmax zeroing: a query row with zero allowed keys (fully
+        # padded structure) softmaxes to uniform weights over -1e9 logits and
+        # would leak every value into the output
+        a = jnp.where(mask[:, None, None, :], a, 0.0)
 
         o_scalar = jnp.einsum("bhlm,bmhc->blhc", a.astype(cfg.dtype), v)
         o_pair = jnp.einsum("bhlm,blmp->blhp", a.astype(cfg.dtype), pair)

@@ -233,6 +233,13 @@ def rotate_chi(
         centered = jnp.nan_to_num(out - a3[:, :, None, :], nan=0.0)
         rotated = jnp.einsum("blij,blaj->blai", rot, centered) + a3[:, :, None, :]
 
-        sel = moved[aa][:, :, k, :, None] & ok[:, :, None, None]
+        # gate the write on original finiteness: a missing atom inside a
+        # moved set must stay NaN (the load-bearing missing-atom convention),
+        # not come back as a rotated finite phantom
+        sel = (
+            moved[aa][:, :, k, :, None]
+            & ok[:, :, None, None]
+            & jnp.isfinite(out).all(-1, keepdims=True)
+        )
         out = jnp.where(sel, rotated, out)
     return out

@@ -138,6 +138,38 @@ class TestRotateChi:
                 worst = max(worst, np.abs(b0 - b1).max())
         assert worst < 1e-4
 
+    def test_missing_atoms_stay_nan(self):
+        """A missing atom inside a chi's moved set must stay NaN.
+
+        The NaN-for-missing-atom convention is load-bearing: rotate_chi must
+        not resurrect a NaN coordinate as a rotated finite phantom atom.
+        """
+        sb = ps.StructureBatch.from_pdb("tests/data/1REX.pdb")
+        seq = np.asarray(sb.get_seq_idx())
+        idx_np, moved_np, defined_np = chi_tables()
+
+        # knock out one atom from a chi-2 moved set of an ARG (chi1/chi2
+        # both defined, deep moved sets)
+        rows = np.argwhere(seq == int(AA.ARG))
+        assert len(rows) > 0
+        b, l = rows[0]
+        aa = seq[b, l]
+        # pick a moved atom of chi2 that is not a pivot of any chi
+        moved_slots = np.nonzero(moved_np[aa, 1])[0]
+        pivots = set(idx_np[aa][defined_np[aa]][:, 1:3].ravel().tolist())
+        slot = next(int(s) for s in moved_slots if int(s) not in pivots)
+
+        x = np.asarray(sb.xyz).copy()
+        x[b, l, slot] = np.nan
+        delta = jnp.full(seq.shape + (4,), 0.7)
+        out = np.asarray(rotate_chi(jnp.asarray(x), sb.get_seq_idx(), delta))
+
+        # the knocked-out atom is still NaN; present atoms moved and finite
+        assert np.isnan(out[b, l, slot]).all()
+        nan_in = np.isnan(x).any(-1)
+        nan_out = np.isnan(out).any(-1)
+        np.testing.assert_array_equal(nan_in, nan_out)
+
     def test_symmetric_chi_semantics(self):
         """Swapping the symmetric pair's labels shifts the chi by pi."""
         sb = ps.StructureBatch.from_pdb("tests/data/1REX.pdb")

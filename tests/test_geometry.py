@@ -187,3 +187,33 @@ def test_fix_chirality_conditional_mirror():
     mirrored = coords * jnp.array([1.0, 1.0, -1.0])
     fixed = geom.fix_chirality(mirrored)
     np.testing.assert_allclose(fixed, coords, atol=1e-6)  # flipped back
+
+
+def test_ideal_carbonyl_oxygen_geometry():
+    """O placement reproduces the ideal CO bond, ACO angle, NACO dihedral."""
+    from protstruc_tpu.constants import ideal
+
+    rng = np.random.default_rng(0)
+    # a curled synthetic backbone, batched (2, L, 3) per atom kind
+    L = 6
+    t = np.linspace(0, 2.0, L)
+    ca = np.stack([np.cos(t) * 5, np.sin(t) * 5, t * 1.5], -1)
+    n = ca + rng.normal(0, 0.1, ca.shape) + np.array([1.45, 0, 0])
+    c = ca + rng.normal(0, 0.1, ca.shape) + np.array([0, 1.52, 0])
+    n, ca, c = (jnp.asarray(np.stack([a, a + 0.3])) for a in (n, ca, c))
+
+    o = geom.ideal_carbonyl_oxygen(n, ca, c)
+    assert o.shape == ca.shape
+
+    # bond length C-O and planar angle CA-C-O are ideal everywhere
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(o - c), axis=-1), ideal.CO, atol=1e-5
+    )
+    ang = np.asarray(geom.angle(ca, c, o))
+    np.testing.assert_allclose(ang, ideal.ACO, atol=1e-5)
+
+    # dihedral N_{i+1}-CA_i-C_i-O_i is the planarity constant (interior
+    # residues; the terminal residue wraps and is psi-arbitrary by doc)
+    n_next = jnp.roll(n, -1, axis=-2)
+    dih = np.asarray(geom.dihedral(n_next, ca, c, o))[:, :-1]
+    np.testing.assert_allclose(np.abs(dih), abs(ideal.NACO), atol=1e-2)

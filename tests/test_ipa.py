@@ -75,6 +75,23 @@ class TestIPA:
         out_p = mod.apply(params, node_p, pair, frames, mask2)
         np.testing.assert_allclose(out[:, :-1], out_p[:, :-1], atol=1e-5)
 
+    def test_all_masked_rows_leak_nothing(self):
+        """A fully padded structure must not leak values through softmax.
+
+        With zero allowed keys the -1e9-masked softmax row is uniform; the
+        post-softmax zeroing must null the value aggregation so the output
+        is input-independent (only biases/layernorm constants remain).
+        """
+        node, pair, frames, mask, _ = _inputs(jax.random.PRNGKey(3))
+        mod = InvariantPointAttention(CFG)
+        params = mod.init(jax.random.PRNGKey(1), node, pair, frames, mask)
+
+        empty = jnp.zeros_like(mask)
+        out = mod.apply(params, node, pair, frames, empty)
+        out_p = mod.apply(params, node + 3.0, pair - 2.0, frames, empty)
+        assert np.isfinite(np.asarray(out)).all()
+        np.testing.assert_allclose(out, out_p, atol=1e-5)
+
 
 class TestStructureModule:
     def test_shapes_and_finiteness(self):
