@@ -195,6 +195,117 @@ def parity_check(rtt):
             raise SystemExit(f"PARITY FAILURE ({name}): {bad}")
 
 
+def model_parity_check(rtt):
+    """On-TPU parity gate for the fused model-featurization kernel.
+
+    ``model_features_pallas`` is *the* training-ingest path
+    (``featurize_for_model(fused=True)``) and the fastest number this bench
+    quotes, so its Mosaic lowering gets certified every run (VERDICT r2
+    item 2).  Three tiers, scalar-only fetches:
+
+    1. f32-mode kernel vs the jnp oracle: ``bins`` int-equal away from bin
+       edges (float reassociation may legitimately flip a bin whose distance
+       sits within 1e-3 of an edge), sincos planes <= 2e-4 off-diagonal
+       (same formulation bound as the raw-map gate), and the degenerate
+       diagonal pinned to its documented convention [0, 1, 0, 1, 0, 0].
+    2. f32 Mosaic vs interpret: bins int-equal, sincos <= 1e-5.
+    3. bf16 production mode Mosaic vs interpret: bitwise equal.
+    """
+    from protstruc_tpu.ops.histogram import distogram_bins
+    from protstruc_tpu.ops.pallas_pairwise import _maps_jnp, model_features_pallas
+
+    on_tpu = jax.default_backend() == "tpu"
+    n_bins, max_dist = 36, 20.0
+    xyz = jax.random.normal(jax.random.PRNGKey(11), (2, 128, 15, 3),
+                            dtype=jnp.float32) * 8.0
+
+    @jax.jit
+    def tiers(xyz):
+        g = _maps_jnp(xyz)
+        bins_ref = distogram_bins(g["d_cb"], n_bins, max_dist)
+        ang_ref = jnp.stack(
+            [jnp.sin(g["omega"]), jnp.cos(g["omega"]),
+             jnp.sin(g["theta"]), jnp.cos(g["theta"]),
+             jnp.sin(g["phi"]), jnp.cos(g["phi"])], axis=1)
+
+        bins, ang = model_features_pallas(
+            xyz, n_bins=n_bins, max_dist=max_dist, interpret=not on_tpu,
+            ang_dtype=jnp.float32)
+
+        L = xyz.shape[1]
+        eye = jnp.eye(L, dtype=bool)[None]
+        # bins: distance of each pair to its nearest bin edge
+        edge_frac = g["d_cb"] / max_dist * n_bins
+        near_edge = jnp.abs(edge_frac - jnp.round(edge_frac)) < 1e-3
+        bins_bad = jnp.sum((bins != bins_ref) & ~near_edge)
+        ang_off = jnp.max(jnp.where(eye[:, None], 0.0, jnp.abs(ang - ang_ref)))
+        diag_conv = jnp.asarray([0.0, 1.0, 0.0, 1.0, 0.0, 0.0])
+        diag_bad = jnp.max(jnp.abs(
+            jnp.where(eye[:, None], ang, diag_conv[None, :, None, None])
+            - diag_conv[None, :, None, None]))
+
+        res = {"bins_mismatch": bins_bad.astype(jnp.float32),
+               "ang_vs_jnp": ang_off, "diag_convention": diag_bad}
+
+        if on_tpu:  # trace-time constant
+            bins_i, ang_i = model_features_pallas(
+                xyz, n_bins=n_bins, max_dist=max_dist, interpret=True,
+                ang_dtype=jnp.float32)
+            res["mosaic_bins_mismatch"] = jnp.sum(bins != bins_i).astype(
+                jnp.float32)
+            res["mosaic_ang"] = jnp.max(jnp.abs(ang - ang_i))
+            bb, ab = model_features_pallas(
+                xyz, n_bins=n_bins, max_dist=max_dist, interpret=False)
+            bi, ai = model_features_pallas(
+                xyz, n_bins=n_bins, max_dist=max_dist, interpret=True)
+            res["bf16_bits_mismatch"] = (
+                jnp.sum(bb != bi) + jnp.sum(ab != ai)).astype(jnp.float32)
+        return res
+
+    res = {k: float(v) for k, v in tiers(xyz).items()}
+    tol = {"bins_mismatch": 0.0, "ang_vs_jnp": 2e-4, "diag_convention": 0.0,
+           "mosaic_bins_mismatch": 0.0, "mosaic_ang": 1e-5,
+           "bf16_bits_mismatch": 0.0}
+    bad = {k: v for k, v in res.items() if v > tol[k]}
+    log("[parity] model-features: "
+        + " ".join(f"{k}={v:.1e}" for k, v in res.items()))
+    if bad:
+        raise SystemExit(f"PARITY FAILURE (model-features): {bad}")
+
+
+def run_ingest():
+    """PDB ingest throughput: python scanner vs the C++ fast path.
+
+    Host-side parse of every bundled PDB (the reference's ingest hot loop is
+    the per-atom Python scatter, pdb.py:140-151; ours is a vectorized
+    byte-buffer scan with an optional native scanner).  stderr diagnostic so
+    regressions are visible round-over-round (VERDICT r2 item 7).
+    """
+    import glob
+    import os
+
+    from protstruc_tpu.pdbio import native
+    from protstruc_tpu.pdbio.parser import parse_pdb
+
+    files = sorted(glob.glob("tests/data/*.pdb"))
+    total_mb = sum(os.path.getsize(f) for f in files) / 1e6
+    variants = [("python", False)]
+    if native.native_available():
+        variants.append(("native", True))
+    for name, use_native in variants:
+        for f in files:  # warm the page cache / lazy imports
+            parse_pdb(f, use_native=use_native)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            for f in files:
+                parse_pdb(f, use_native=use_native)
+        dt = (time.perf_counter() - t0) / reps
+        log(f"[ingest] {name}: {len(files)} PDBs ({total_mb:.1f} MB) in "
+            f"{dt*1e3:.0f} ms -> {len(files)/dt:.0f} structures/s, "
+            f"{total_mb/dt:.0f} MB/s")
+
+
 def measure_rtt():
     @jax.jit
     def tiny(x):
@@ -395,6 +506,160 @@ def run_sharded_diag(rtt):
         f"{dt*1e3:.1f} ms/batch -> {B/dt:.0f} structures/s")
 
 
+def run_smoke(rtt):
+    """On-TPU functional smoke lane (VERDICT r2 item 5).
+
+    The 334-test suite runs on CPU with interpret-mode kernels; this lane
+    drives ~10 critical product paths against the LIVE backend so "works on
+    my interpreter" regressions fail the bench.  Tiny shapes to bound remote
+    compile time; any failure aborts loudly.
+    """
+    import tempfile
+
+    import numpy as np
+    import optax
+
+    import protstruc_tpu as ps
+    from protstruc_tpu.models.ipa import FoldModel, IPAConfig, fold_loss_fn
+    from protstruc_tpu.models.trfold import (
+        TrFold, TrFoldConfig, featurize_for_model, train_step)
+    from protstruc_tpu.ops.pallas_pairwise import pairwise_maps
+
+    failures = []
+
+    def stage(name):
+        def deco(fn):
+            t0 = time.perf_counter()
+            try:
+                fn()
+                log(f"[smoke] {name}: ok ({time.perf_counter() - t0:.1f}s)")
+            except Exception as e:
+                failures.append(name)
+                log(f"[smoke] {name}: FAILED {type(e).__name__}: {e}")
+            return fn
+        return deco
+
+    sb = ps.StructureBatch.from_pdb("tests/data/15c8_HL.pdb")
+
+    @stage("featurize-real-pdb")
+    def _():
+        g = sb.inter_residue_geometry(use_pallas=True)
+        d, m = sb.backbone_dihedrals()
+        assert np.isfinite(float(jnp.nansum(g["d_cb"]))), "d_cb all-NaN"
+        assert np.isfinite(float(jnp.nansum(d)))
+
+    @stage("pallas-backward")
+    def _():
+        xyz = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 15, 3)) * 8.0
+
+        interp = jax.default_backend() != "tpu"
+
+        @jax.jit
+        def loss(x):
+            g = dict(pairwise_maps(x, interpret=interp))
+            return jnp.nansum(g["d_cb"]) + jnp.nansum(g["omega"])
+
+        gval = jax.grad(loss)(xyz)
+        assert np.isfinite(np.asarray(gval)).all(), "NaN in kernel gradient"
+
+    feats = featurize_for_model(sb, fused=True)
+    tcfg = TrFoldConfig(node_dim=32, pair_dim=16, n_heads=2, n_blocks=1)
+
+    @stage("trfold-train-3steps")
+    def _():
+        model = TrFold(tcfg)
+        params = model.init(jax.random.PRNGKey(0), feats)["params"]
+        tx = optax.adam(1e-3)
+        opt = tx.init(params)
+        step = jax.jit(lambda p, o, f: train_step(p, o, f, model, tx))
+        losses = []
+        for _ in range(3):
+            params, opt, l = step(params, opt, feats)
+            losses.append(float(l))
+        assert all(np.isfinite(losses)), f"non-finite loss {losses}"
+        assert losses[-1] < losses[0], f"loss not decreasing {losses}"
+
+    @stage("foldmodel-train-3steps")
+    def _():
+        model = FoldModel(trunk_cfg=tcfg,
+                          ipa_cfg=IPAConfig(n_heads=2, n_iter=2))
+        params = model.init(jax.random.PRNGKey(0), feats)["params"]
+        tx = optax.adam(1e-3)
+        opt = tx.init(params)
+
+        @jax.jit
+        def fstep(p, o):
+            l, g = jax.value_and_grad(fold_loss_fn)(p, model, feats, sb.xyz)
+            u, o = tx.update(g, o, p)
+            return optax.apply_updates(p, u), o, l
+
+        losses = []
+        for _ in range(3):
+            params, opt, l = fstep(params, opt)
+            losses.append(float(l))
+        assert all(np.isfinite(losses)), f"non-finite loss {losses}"
+        assert losses[-1] < losses[0], f"loss not decreasing {losses}"
+
+    @stage("aot-dispatcher")
+    def _():
+        from protstruc_tpu.utils.aot import precompile_featurizer
+
+        feat = precompile_featurizer(batch_sizes=(1,), buckets=(256,))
+        g, d, m, frames = feat(sb)
+        assert d.shape[0] == 1 and np.isfinite(float(jnp.nansum(g["d_cb"])))
+
+    @stage("checkpoint-roundtrip")
+    def _():
+        from protstruc_tpu.models.checkpoint import (
+            restore_train_state, save_train_state)
+
+        model = TrFold(tcfg)
+        params = model.init(jax.random.PRNGKey(0), feats)["params"]
+        opt = optax.adam(1e-3).init(params)
+        with tempfile.TemporaryDirectory() as td:
+            save_train_state(td, 0, params, opt)
+            restored, _, step0 = restore_train_state(
+                td, params_like=params, opt_state_like=opt)
+        a = jax.tree_util.tree_leaves(params)
+        b = jax.tree_util.tree_leaves(restored)
+        assert step0 == 0 and all(
+            np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
+
+    @stage("cli-featurize")
+    def _():
+        from protstruc_tpu.__main__ import main as cli_main
+
+        with tempfile.TemporaryDirectory() as td:
+            rc = cli_main(["featurize", "tests/data/15c8_HL.pdb",
+                           "--out", f"{td}/f.npz", "--pallas"])
+            assert rc == 0
+            dat = np.load(f"{td}/f.npz")
+            assert np.isfinite(np.nansum(dat["d_cb"]))
+
+    @stage("diffusion-scan")
+    def _():
+        from protstruc_tpu.ops.diffusion import (
+            cosine_variance_schedule, diffusion_trajectory)
+
+        out = diffusion_trajectory(
+            jnp.nan_to_num(sb.xyz, nan=0.0), jax.random.PRNGKey(0),
+            cosine_variance_schedule(10))
+        assert np.isfinite(float(out.sum()))
+
+    @stage("align-kabsch")
+    def _():
+        moved = sb.rotate(jnp.asarray(
+            [[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]
+        )).translate(jnp.ones((1, sb.n_residues, 3)))
+        back, _rt = moved.align(sb)
+        rms = float(jnp.sqrt(jnp.nanmean((back.xyz - sb.xyz) ** 2)))
+        assert rms < 1e-3, f"align rms {rms}"
+
+    if failures:
+        raise SystemExit(f"SMOKE FAILURES: {failures}")
+    log("[smoke] all stages green")
+
+
 def main():
     import sys as _sys
 
@@ -407,13 +672,22 @@ def main():
         rtt = 0.03
 
     parity_check(rtt)
+    model_parity_check(rtt)
 
-    if "--configs" in _sys.argv:
-        run_configs(rtt)
-        for diag, name in [(run_sharded_diag, "sp-shard"),
-                           (run_model_fused_diag, "model-fused")]:
+    if "--smoke" in _sys.argv:
+        run_smoke(rtt)
+
+    # the five BASELINE.md configs + ingest + diagnostics run on every bench
+    # so the driver-captured artifact certifies them round-over-round
+    # (VERDICT r2 items 3 and 7); --headline-only skips them for quick runs
+    if "--headline-only" not in _sys.argv:
+        stages = [(run_ingest, "ingest"),
+                  (lambda: run_configs(rtt), "configs"),
+                  (lambda: run_sharded_diag(rtt), "sp-shard"),
+                  (lambda: run_model_fused_diag(rtt), "model-fused")]
+        for fn, name in stages:
             try:
-                diag(rtt)
+                fn()
             except Exception as e:
                 log(f"[{name}] FAILED: {type(e).__name__}: {e}")
 
