@@ -245,7 +245,8 @@ class StructureBatch:
         ideal_bb = geom.ideal_backbone_coordinates((bsz, n_res), include_cb)
         n_atoms = ideal_bb.shape[2]
 
-        atom_xyz = jnp.einsum("bnij,bnaj->bnai", orientations, ideal_bb)
+        atom_xyz = jnp.einsum("bnij,bnaj->bnai", orientations, ideal_bb,
+                              precision="highest")
         atom_xyz = atom_xyz + translations[:, :, None, :]
 
         pad_a = MAX_N_ATOMS_PER_RESIDUE - n_atoms
@@ -631,7 +632,8 @@ class StructureBatch:
         (``R^T x - x_CA``, not ``R^T (x - x_CA)``).
         """
         orientation = self.backbone_orientations()  # (B, L, 3, 3)
-        local = jnp.einsum("bnji,bnaj->bnai", orientation, self.xyz)
+        local = jnp.einsum("bnji,bnaj->bnai", orientation, self.xyz,
+                           precision="highest")
         return local - self.xyz[:, :, int(ATOM.CA), None, :]
 
     def pairwise_dihedrals(
@@ -680,7 +682,7 @@ class StructureBatch:
         r = jnp.asarray(rotation)
         if r.ndim == 2:
             r = r[None]
-        new_xyz = jnp.einsum("bij,bnaj->bnai", r, self.xyz)
+        new_xyz = jnp.einsum("bij,bnaj->bnai", r, self.xyz, precision="highest")
         return self.replace(xyz=new_xyz)
 
     def standardize(self, atom_mask=None, residue_mask=None) -> "StructureBatch":

@@ -289,17 +289,17 @@ def masked_kabsch(a, b, weights) -> Tuple[jnp.ndarray, jnp.ndarray]:
     b_c = b - centroid_b
 
     # covariance: h[i, j] = sum_k w_k * a_c[k, i] * b_c[k, j]
-    h = jnp.einsum("...ki,...kj->...ij", a_c, b_c)
+    h = jnp.einsum("...ki,...kj->...ij", a_c, b_c, precision="highest")
 
     u, _, vt = jnp.linalg.svd(h, full_matrices=False)
     v = jnp.swapaxes(vt, -2, -1)
     ut = jnp.swapaxes(u, -2, -1)
 
-    d = jnp.sign(jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", v, ut)))
+    d = jnp.sign(jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", v, ut, precision="highest")))
     diag = jnp.ones(h.shape[:-2] + (3,), dtype=a.dtype)
     diag = diag.at[..., 2].set(d)
 
-    r = jnp.einsum("...ij,...j,...kj->...ik", v, diag, u)
+    r = jnp.einsum("...ij,...j,...kj->...ik", v, diag, u, precision="highest")
 
     t = jnp.squeeze(centroid_b, -2) - jnp.einsum(
         "...ij,...j->...i", r, jnp.squeeze(centroid_a, -2)

@@ -94,7 +94,8 @@ def build_sidechains(
     ca = backbone_xyz[:, :, 1]
 
     local = lib[aa]          # (B, L, 15, 3)
-    placed = jnp.einsum("blij,blaj->blai", r, local) + ca[:, :, None]
+    placed = jnp.einsum("blij,blaj->blai", r, local,
+                        precision="highest") + ca[:, :, None]
     mask = lib_mask_j[aa]    # (B, L, 15)
 
     if residue_mask is not None:

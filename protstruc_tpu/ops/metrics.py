@@ -36,7 +36,8 @@ def rmsd(a, b, mask=None, align: bool = True) -> jnp.ndarray:
 
     if align:
         r, t = geom.masked_kabsch(a, b, mask)
-        a = jnp.einsum("...ij,...nj->...ni", r, a) + t[..., None, :]
+        a = jnp.einsum("...ij,...nj->...ni", r, a,
+                       precision="highest") + t[..., None, :]
 
     sq = jnp.sum((a - b) ** 2, axis=-1)
     return jnp.sqrt(_masked_mean(sq, mask, axis=-1))
@@ -49,7 +50,8 @@ def superimpose(a, b, mask=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
         mask = jnp.ones(a.shape[:-1], dtype=bool)
     mask = jnp.asarray(mask)
     r, t = geom.masked_kabsch(a, b, mask)
-    aligned = jnp.einsum("...ij,...nj->...ni", r, a) + t[..., None, :]
+    aligned = jnp.einsum("...ij,...nj->...ni", r, a,
+                         precision="highest") + t[..., None, :]
     sq = jnp.sum((aligned - b) ** 2, axis=-1)
     return aligned, jnp.sqrt(_masked_mean(sq, mask, axis=-1))
 
@@ -70,7 +72,8 @@ def tm_score(a, b, mask=None, align: bool = True,
 
     if align:
         r, t = geom.masked_kabsch(a, b, mask)
-        a = jnp.einsum("...ij,...nj->...ni", r, a) + t[..., None, :]
+        a = jnp.einsum("...ij,...nj->...ni", r, a,
+                       precision="highest") + t[..., None, :]
 
     n = jnp.sum(mask, axis=-1).astype(a.dtype) if l_target is None else l_target
     d0 = 1.24 * jnp.cbrt(jnp.maximum(n - 15.0, 1.0)) - 1.8
@@ -90,7 +93,8 @@ def gdt_ts(a, b, mask=None, align: bool = True) -> jnp.ndarray:
 
     if align:
         r, t = geom.masked_kabsch(a, b, mask)
-        a = jnp.einsum("...ij,...nj->...ni", r, a) + t[..., None, :]
+        a = jnp.einsum("...ij,...nj->...ni", r, a,
+                       precision="highest") + t[..., None, :]
 
     d = jnp.sqrt(jnp.sum((a - b) ** 2, axis=-1))
     fracs = [
@@ -245,7 +249,8 @@ def dockq(model_xyz, native_xyz, atom_mask, rec_mask, lig_mask) -> jnp.ndarray:
     w_lig = (lig_mask[:, :, None] & bb_ok).reshape(B, L * 4)
 
     r, t = geom.masked_kabsch(a, b, w_rec)
-    a_sup = jnp.einsum("...ij,...nj->...ni", r, a) + t[..., None, :]
+    a_sup = jnp.einsum("...ij,...nj->...ni", r, a,
+                       precision="highest") + t[..., None, :]
     sq = jnp.sum((a_sup - b) ** 2, axis=-1)
     lrms = jnp.sqrt(_masked_mean(sq, w_lig, axis=-1))
 

@@ -192,7 +192,8 @@ def classical_mds(dist: jnp.ndarray, out_dim: int = 3) -> jnp.ndarray:
     n = dist.shape[0]
     d2 = dist**2
     j = jnp.eye(n) - jnp.full((n, n), 1.0 / n)
-    b = -0.5 * j @ d2 @ j
+    b = -0.5 * jnp.matmul(jnp.matmul(j, d2, precision="highest"), j,
+                          precision="highest")
     w, v = jnp.linalg.eigh(b)  # ascending
     top = jnp.arange(n - out_dim, n)
     scales = jnp.sqrt(jnp.clip(w[top], 0.0))
@@ -217,7 +218,7 @@ def smacof_refine(
         ratio = dist / cur
         b = -ratio
         b = b + jnp.diag(-jnp.sum(b, axis=1))
-        x_new = (b @ x) / n
+        x_new = jnp.matmul(b, x, precision="highest") / n
         return x_new, None
 
     out, _ = jax.lax.scan(step, coords, None, length=n_iter)

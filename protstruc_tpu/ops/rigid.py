@@ -97,21 +97,21 @@ def random_rotations(key: jax.Array, shape: Tuple[int, ...] = ()) -> jnp.ndarray
 
 def frame_compose(r1, t1, r2, t2):
     """Compose rigid transforms: (r1, t1) after (r2, t2) = ``x -> r1 (r2 x + t2) + t1``."""
-    r = jnp.einsum("...ij,...jk->...ik", r1, r2)
-    t = jnp.einsum("...ij,...j->...i", r1, t2) + t1
+    r = jnp.einsum("...ij,...jk->...ik", r1, r2, precision="highest")
+    t = jnp.einsum("...ij,...j->...i", r1, t2, precision="highest") + t1
     return r, t
 
 
 def frame_invert(r, t):
     """Inverse rigid transform: ``x -> r^T (x - t)``."""
     r_inv = jnp.swapaxes(r, -2, -1)
-    t_inv = -jnp.einsum("...ij,...j->...i", r_inv, t)
+    t_inv = -jnp.einsum("...ij,...j->...i", r_inv, t, precision="highest")
     return r_inv, t_inv
 
 
 def frame_apply(r, t, x):
     """Apply a rigid transform to points ``(..., n, 3)`` (frames broadcast)."""
-    return jnp.einsum("...ij,...nj->...ni", r, x) + t[..., None, :]
+    return jnp.einsum("...ij,...nj->...ni", r, x, precision="highest") + t[..., None, :]
 
 
 def rotation_angle(r: jnp.ndarray) -> jnp.ndarray:

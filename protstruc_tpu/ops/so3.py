@@ -51,7 +51,7 @@ def rotvec_to_rot(v: jnp.ndarray) -> jnp.ndarray:
     K = jnp.stack(
         [zero, -z, y, z, zero, -x, -y, x, zero], axis=-1
     ).reshape(v.shape[:-1] + (3, 3))
-    K2 = jnp.einsum("...ij,...jk->...ik", K, K)
+    K2 = jnp.einsum("...ij,...jk->...ik", K, K, precision="highest")
     eye = jnp.broadcast_to(jnp.eye(3), K.shape)
     return eye + a[..., None, None] * K + b[..., None, None] * K2
 
@@ -206,4 +206,5 @@ def geodesic_interp(r0: jnp.ndarray, r1: jnp.ndarray, alpha) -> jnp.ndarray:
     rel = jnp.einsum("...ji,...jk->...ik", r0, r1)  # r0^T r1
     v = rot_to_rotvec(rel)
     alpha = jnp.asarray(alpha)[..., None]
-    return jnp.einsum("...ij,...jk->...ik", r0, rotvec_to_rot(v * alpha))
+    return jnp.einsum("...ij,...jk->...ik", r0, rotvec_to_rot(v * alpha),
+                      precision="highest")
