@@ -21,6 +21,8 @@ def log(*a):
 
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    n_recycle = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    n_blocks = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 
     import jax
     import jax.numpy as jnp
@@ -43,12 +45,15 @@ def main():
     gt_xyz = jnp.asarray(sb.xyz)
 
     model = FoldModel(
-        trunk_cfg=TrFoldConfig(node_dim=128, pair_dim=64, n_heads=4, n_blocks=2),
+        trunk_cfg=TrFoldConfig(node_dim=128, pair_dim=64, n_heads=4,
+                               n_blocks=n_blocks),
         ipa_cfg=IPAConfig(n_heads=4, scalar_dim=16, n_qk_points=4,
                           n_v_points=8, n_iter=6),
+        n_recycle=n_recycle,
     )
+    log(f"n_recycle={n_recycle} n_blocks={n_blocks}")
     params = model.init(jax.random.PRNGKey(0), feats)["params"]
-    tx = optax.adamw(3e-4)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(3e-4))
     opt = tx.init(params)
 
     @jax.jit

@@ -129,6 +129,9 @@ class FrameDenoiser(nn.Module):
             pair_dim=cfg.pair_dim,
             n_heads=cfg.n_heads,
             n_iter=cfg.n_iter,
+            # translations here are already normalized (units of
+            # cfg.trans_scale angstroms) — no internal rescaling on top
+            position_scale=1.0,
             dtype=cfg.dtype,
         )
         out = StructureModule(ipa_cfg, name="structure")(

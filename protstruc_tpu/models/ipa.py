@@ -68,6 +68,12 @@ class IPAConfig:
     n_qk_points: int = 4
     n_v_points: int = 8
     n_iter: int = 4           # shared-weight refinement iterations
+    # Internal translation units: 1 unit = position_scale angstroms (AF2's
+    # nanometer-scale trick, supp. 1.8).  The zero-init BackboneUpdate then
+    # reaches a 40 A protein span with O(4)-unit outputs instead of O(40),
+    # and IPA point distances stay O(1) — without it the 4-antibody overfit
+    # stalls at ~15 A CA-RMSD (r2 fold_quality).
+    position_scale: float = 10.0
     dtype: Any = jnp.float32
 
 
@@ -221,11 +227,13 @@ class StructureModule(nn.Module):
         cfg = self.cfg
         B, L = node.shape[:2]
 
+        scale = cfg.position_scale
         if initial_frames is None:
             r = jnp.broadcast_to(jnp.eye(3), (B, L, 3, 3))
             t = jnp.zeros((B, L, 3))
         else:
             r, t = initial_frames
+            t = t / scale  # internal units: 1 = position_scale angstroms
 
         ipa = InvariantPointAttention(cfg, name="ipa")
         ln1 = nn.LayerNorm(dtype=cfg.dtype, name="ln_ipa")
@@ -244,11 +252,12 @@ class StructureModule(nn.Module):
             dr, dt = update(node)
             r, t = frame_compose(r, t, dr, dt)
             traj_r.append(r)
-            traj_t.append(t)
+            traj_t.append(t * scale)  # trajectory in angstroms
             if it < cfg.n_iter - 1:
                 # AF2 stabilizer: no rotation gradients across iterations
                 r = jax.lax.stop_gradient(r)
 
+        t = t * scale  # back to angstroms for everything downstream
         xyz = backbone_xyz_from_frames(r, t, include_cb=True)
         return {
             "frames": (r, t),
@@ -271,6 +280,11 @@ class FoldModel(nn.Module):
 
     trunk_cfg: Any  # TrFoldConfig
     ipa_cfg: IPAConfig = IPAConfig()
+    # Recycling (the AF2 trick): re-embed the previous pass's predicted CB
+    # distogram + representations and run the whole model again.  Gradients
+    # flow through the last pass only (stop_gradient between passes), so
+    # memory/compile cost per step is ~(n_recycle+1) x forward, 1 x backward.
+    n_recycle: int = 0
 
     def setup(self):
         from protstruc_tpu.models.trfold import TrFold
@@ -282,16 +296,49 @@ class FoldModel(nn.Module):
             pair_dim=self.trunk_cfg.pair_dim,
         )
         self.structure = StructureModule(cfg)
+        # recycle embedders (params only materialize when recycling is used)
+        self.recycle_node_ln = nn.LayerNorm(
+            dtype=self.trunk_cfg.dtype, name="recycle_node_ln")
+        self.recycle_pair_ln = nn.LayerNorm(
+            dtype=self.trunk_cfg.dtype, name="recycle_pair_ln")
+        self.recycle_dist_embed = nn.Dense(
+            self.trunk_cfg.pair_dim, dtype=self.trunk_cfg.dtype,
+            name="recycle_dist_embed")
 
-    def __call__(self, feats: Dict[str, jnp.ndarray]):
+    def __call__(self, feats: Dict[str, jnp.ndarray], n_recycle: int = None):
+        nr = self.n_recycle if n_recycle is None else n_recycle
+        prev = None
+        for cycle in range(nr + 1):
+            out = self._one_pass(feats, prev)
+            if cycle < nr:
+                prev = jax.lax.stop_gradient(
+                    (out["node"], out["pair_repr"], out["xyz"]))
+        return out
+
+    def _one_pass(self, feats, prev):
+        from protstruc_tpu.ops.histogram import distogram_bins
+
         mask = feats["residue_mask"]
         node, pair = self.trunk.embed(feats)
+        if prev is not None:
+            prev_node, prev_pair, prev_xyz = prev
+            cb = prev_xyz[:, :, 3]  # predicted CB (N/CA/C/CB layout)
+            diff = cb[:, :, None] - cb[:, None, :]
+            bins = distogram_bins(
+                jnp.sqrt(jnp.sum(diff * diff, -1) + 1e-8),
+                self.trunk_cfg.n_dist_bins, self.trunk_cfg.max_dist)
+            onehot = jax.nn.one_hot(
+                bins, self.trunk_cfg.n_dist_bins, dtype=pair.dtype)
+            pair = (pair + self.recycle_dist_embed(onehot)
+                    + self.recycle_pair_ln(prev_pair))
+            node = node + self.recycle_node_ln(prev_node)
         moe_aux = 0.0
         for block in self.trunk.blocks:
             node, pair, aux = block(node, pair, mask)
             moe_aux = moe_aux + aux
         out = self.trunk.heads(node, pair)
         out["moe_aux_loss"] = jnp.asarray(moe_aux, jnp.float32)
+        out["pair_repr"] = pair
         out.update(self.structure(node, pair, mask))
         return out
 
@@ -364,14 +411,17 @@ def fold_loss_fn(params, model: FoldModel, feats: Dict[str, jnp.ndarray],
     true_r = jnp.where(bb_ok[..., None, None], true_r, jnp.eye(3))
     true_t = jnp.where(bb_ok[..., None], true_t, 0.0)
 
-    pred = out["frames"]
-    fape = fape_loss(
-        pred,
-        out["xyz"][:, :, :3],
-        (true_r, true_t),
-        bb,
-        bb_ok,
-    )
+    # intermediate supervision (AF2 eq. 29): average backbone FAPE over the
+    # whole refinement trajectory, not just the final frames — every
+    # iteration's update gets a direct gradient
+    traj_r, traj_t = out["traj"]  # (n_iter, B, L, ...)
+
+    def per_iter(rt):
+        r_i, t_i = rt
+        xyz_i = backbone_xyz_from_frames(r_i, t_i, include_cb=False)
+        return fape_loss((r_i, t_i), xyz_i, (true_r, true_t), bb, bb_ok)
+
+    fape = jnp.mean(jax.vmap(per_iter)((traj_r, traj_t)))
     return trunk_loss + fape_weight * fape
 
 
