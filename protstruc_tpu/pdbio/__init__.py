@@ -11,3 +11,5 @@ from protstruc_tpu.pdbio.pdb import PDB, ChothiaAntibodyPDB
 from protstruc_tpu.pdbio.writer import to_pdb, structure_batch_to_pdb
 from protstruc_tpu.pdbio.fetch import fetch_pdb
 from protstruc_tpu.pdbio.dataset import StructureDataset
+from protstruc_tpu.pdbio.annotations import (
+    SSRecord, author_ss_classes, parse_ss_records)

@@ -164,3 +164,38 @@ def test_pytree_with_masks():
         return batch.get_cdr_mask().sum()
 
     assert int(cdr_count(ab)) == int(np.asarray(ab.get_cdr_mask()).sum())
+
+
+class TestWrongSchemeGuard:
+    """Feeding a Chothia-numbered file under a mismatched scheme must warn
+    with a diagnostic instead of silently producing wrong masks (the
+    reference's silent-Chothia bug, protstruc.py:1084-1087, fixed fully)."""
+
+    def test_imgt_on_chothia_numbered_file_warns(self):
+        import warnings
+
+        import protstruc_tpu as ps
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ps.AntibodyStructureBatch.from_pdb(
+                "tests/data/6dc4.pdb", heavy_chain_id="H", light_chain_id="L",
+                numbering_scheme="imgt",
+            )
+        msgs = [str(x.message) for x in w if issubclass(x.category, UserWarning)]
+        assert any("numbering" in m and "scheme" in m for m in msgs), msgs
+
+    def test_matching_scheme_is_silent(self):
+        import warnings
+
+        import protstruc_tpu as ps
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ps.AntibodyStructureBatch.from_pdb(
+                "tests/data/6dc4.pdb", heavy_chain_id="H", light_chain_id="L",
+                numbering_scheme="chothia",
+            )
+        msgs = [str(x.message) for x in w
+                if issubclass(x.category, UserWarning) and "scheme" in str(x.message)]
+        assert not msgs, msgs
