@@ -392,17 +392,22 @@ def fape_loss(
 
 
 def fold_loss_fn(params, model: FoldModel, feats: Dict[str, jnp.ndarray],
-                 batch_xyz: jnp.ndarray, fape_weight: float = 1.0):
+                 batch_xyz: jnp.ndarray, fape_weight: float = 1.0,
+                 target_feats: Dict[str, jnp.ndarray] = None):
     """Trunk losses (distogram/torsion/angles) + backbone FAPE.
 
     ``batch_xyz``: ground-truth ``(B, L, A>=3, 3)`` coordinates (NaNs allowed
     at missing atoms; residues with any missing backbone atom are dropped
-    from the FAPE mask).
+    from the FAPE mask).  ``target_feats``: supervision targets for the
+    trunk heads when the model *inputs* are not the native structure (e.g.
+    sequence-only folding, where ``feats``'s distogram/torsion channels are
+    absent-conventions, not ground truth); defaults to ``feats``.
     """
     out = model.apply({"params": params}, feats)
 
     # trunk losses, reusing the TrFold formulation on the same outputs
-    trunk_loss = _trunk_losses(out, feats, model.trunk_cfg)
+    trunk_loss = _trunk_losses(
+        out, feats if target_feats is None else target_feats, model.trunk_cfg)
 
     bb = batch_xyz[:, :, :3]
     bb_ok = jnp.isfinite(bb).all((-2, -1)) & feats["residue_mask"]

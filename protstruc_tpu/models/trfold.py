@@ -40,6 +40,7 @@ __all__ = [
     "train_step",
     "param_shardings",
     "featurize_for_model",
+    "featurize_from_sequence",
 ]
 
 
@@ -142,6 +143,34 @@ def featurize_for_model(batch, use_pallas: bool = False, fused: bool = False,
         pair_mask=g["d_cb_mask"] & jnp.isfinite(g["d_cb"]),
     )
     return common
+
+
+def featurize_from_sequence(seq_idx, chain_idx=None, n_dist_bins: int = 36):
+    """Sequence-only model inputs: fold *without* structural features.
+
+    Structural channels are set to their "absent" conventions — zero
+    torsions with an all-False mask, the distogram's last bin (the
+    missing-atom class) everywhere, and an all-False pair mask — so the
+    trunk sees sequence + relative position only.  With
+    ``FoldModel(n_recycle>0)`` the second pass re-embeds the first pass's
+    *predicted* CB distogram, turning the model into an iterative
+    sequence -> structure predictor (the AF2 recycling mechanism).  Used by
+    the self-consistency evaluation (experiments/self_consistency.py).
+    """
+    seq_idx = jnp.asarray(seq_idx, jnp.int32)
+    B, L = seq_idx.shape
+    if chain_idx is None:
+        chain_idx = jnp.zeros((B, L), jnp.int32)
+    return {
+        "seq_idx": seq_idx,
+        "torsions": jnp.zeros((B, L, 3), jnp.float32),
+        "torsion_mask": jnp.zeros((B, L, 3), bool),
+        "residue_mask": jnp.ones((B, L), bool),
+        "chain_idx": chain_idx,
+        "d_cb_bins": jnp.full((B, L, L), n_dist_bins - 1, jnp.int32),
+        "ang_sincos": jnp.zeros((B, L, L, 6), jnp.float32),
+        "pair_mask": jnp.zeros((B, L, L), bool),
+    }
 
 
 class PairBiasAttention(nn.Module):

@@ -264,6 +264,41 @@ class TestFoldModel:
         assert np.isfinite(float(val))
         assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
 
+    def test_sequence_only_folding_path(self):
+        """featurize_from_sequence + target_feats supervision: the
+        sequence-only refold path (self-consistency eval) trains."""
+        import optax
+
+        from protstruc_tpu.models.trfold import featurize_from_sequence
+
+        sb = ps.StructureBatch.from_pdb(["tests/data/15c8_HL.pdb"])
+        tcfg = TrFoldConfig(node_dim=32, pair_dim=16, n_heads=2, n_blocks=1)
+        seq_feats = featurize_from_sequence(sb.get_seq_idx(),
+                                            n_dist_bins=tcfg.n_dist_bins)
+        target = featurize_for_model(sb, fused=True)
+        model = FoldModel(trunk_cfg=tcfg, ipa_cfg=CFG, n_recycle=1)
+        params = model.init(jax.random.PRNGKey(0), seq_feats)["params"]
+
+        tx = optax.adam(1e-3)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(p, o):
+            l, g = jax.value_and_grad(
+                lambda q: fold_loss_fn(q, model, seq_feats, sb.xyz,
+                                       target_feats=target))(p)
+            u, o = tx.update(g, o, p)
+            return optax.apply_updates(p, u), o, l
+
+        losses = []
+        for _ in range(5):
+            params, opt, l = step(params, opt)
+            losses.append(float(l))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+        out = model.apply({"params": params}, seq_feats, n_recycle=2)
+        assert np.isfinite(np.asarray(out["xyz"])).all()
+
     def test_position_scale_traj_in_angstroms(self):
         """Trajectory and final frames agree in units (angstroms)."""
         sb = ps.StructureBatch.from_pdb(["tests/data/15c8_HL.pdb"])
