@@ -32,6 +32,8 @@ def test_featurize_variants_run_tiny(monkeypatch):
 
 def test_bench_main_emits_single_json_line():
     code = (
+        "import sys\n"
+        "sys.argv.append('--headline-only')\n"  # configs are TPU-sized; CPU
         "import bench, jax\n"
         "bench.B, bench.L = 2, 32\n"
         "bench.WARMUP, bench.ITERS = 1, 1\n"

@@ -381,3 +381,27 @@ class TestFoldModel:
             np.isfinite(np.asarray(x)).all()
             for x in jax.tree_util.tree_leaves(grads)
         )
+
+
+class TestFoldQualityArtifact:
+    """The committed fold-quality artifact meets the round-3 quality gate.
+
+    The full run (3000 TPU steps, ~14 min) can't execute in the unit suite;
+    this certifies the recorded result that experiments/fold_quality.py
+    produced on hardware: lDDT >= 0.8 and CA-RMSD <= 5 A on the 4-antibody
+    overfit (VERDICT r2 item 4's done-criterion), plus curve monotonicity
+    sanity (final is the best recorded RMSD).
+    """
+
+    def test_committed_quality_gate(self):
+        import json
+        import pathlib
+
+        art = json.loads(
+            (pathlib.Path(__file__).parent.parent
+             / "docs/quality/fold_quality_r3.json").read_text())
+        assert art["final"]["ca_lddt"] >= 0.8
+        assert art["final"]["ca_rmsd"] <= 5.0
+        rmsds = [row["ca_rmsd"] for row in art["curve"]]
+        assert rmsds[-1] == min(rmsds)
+        assert art["curve"][0]["ca_lddt"] < 0.05  # started from random
