@@ -91,7 +91,8 @@ def main():
     denoiser = FrameDenoiser(cfg)
     dparams = denoiser.init(jax.random.PRNGKey(0), r0, x0,
                             jnp.zeros((n_frag,)), fmask)["params"]
-    dtx = optax.adam(1e-3)
+    dtx = optax.chain(optax.zero_nans(),
+                         optax.clip_by_global_norm(1.0), optax.adam(1e-3))
     dopt = dtx.init(dparams)
 
     @jax.jit
@@ -118,7 +119,8 @@ def main():
     if_params = if_model.init(
         jax.random.PRNGKey(2), dict(tf, prev_seq=seqs, decode_rank=rank)
     )["params"]
-    if_tx = optax.adam(1e-3)
+    if_tx = optax.chain(optax.zero_nans(),
+                         optax.clip_by_global_norm(1.0), optax.adam(1e-3))
     if_opt = if_tx.init(if_params)
 
     @jax.jit

@@ -102,6 +102,50 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    import glob
+    import os
+
+    from protstruc_tpu.train import TrainConfig, train
+
+    paths = []
+    for inp in args.inputs:
+        if os.path.isdir(inp):
+            paths.extend(sorted(glob.glob(os.path.join(inp, "*.pdb"))))
+            paths.extend(sorted(glob.glob(os.path.join(inp, "*.cif"))))
+        else:
+            paths.append(inp)
+    if not paths:
+        print("no input structures found", file=sys.stderr)
+        return 2
+    cfg = TrainConfig(
+        steps=args.steps, batch_size=args.batch_size,
+        node_dim=args.node_dim, pair_dim=args.pair_dim,
+        n_blocks=args.blocks, n_recycle=args.recycle,
+        sequence_only=args.sequence_only, learning_rate=args.lr,
+        save_every=args.save_every, seed=args.seed, bf16=args.bf16,
+    )
+    metrics = train(paths, args.checkpoint_dir, cfg,
+                    log_fn=lambda *a: print(*a, file=sys.stderr))
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_fold(args) -> int:
+    import numpy as np
+
+    from protstruc_tpu.pdbio.writer import to_pdb
+    from protstruc_tpu.train import fold_sequence
+
+    coords = fold_sequence(args.checkpoint_dir, args.seq,
+                           n_recycle=args.recycle)
+    # writer layout: (5, L, 3) N/CA/C/O/CB
+    to_pdb(args.out, np.asarray(coords).transpose(1, 0, 2),
+           [args.seq.upper()], ["A"])
+    print(f"wrote {args.out} ({len(args.seq)} residues)")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="protstruc_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -126,6 +170,31 @@ def main(argv=None) -> int:
 
     i = sub.add_parser("info", help="backend / native-component status")
     i.set_defaults(fn=cmd_info)
+
+    t = sub.add_parser("train", help="train FoldModel on PDB files/dirs")
+    t.add_argument("inputs", nargs="+", help="PDB files or directories")
+    t.add_argument("--checkpoint-dir", required=True)
+    t.add_argument("--steps", type=int, default=1000)
+    t.add_argument("--batch-size", type=int, default=4)
+    t.add_argument("--node-dim", type=int, default=128)
+    t.add_argument("--pair-dim", type=int, default=64)
+    t.add_argument("--blocks", type=int, default=4)
+    t.add_argument("--recycle", type=int, default=1)
+    t.add_argument("--sequence-only", action="store_true",
+                   help="train the sequence->structure path")
+    t.add_argument("--lr", type=float, default=3e-4)
+    t.add_argument("--save-every", type=int, default=500)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--bf16", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    fd = sub.add_parser("fold",
+                        help="fold a sequence with a trained checkpoint")
+    fd.add_argument("--checkpoint-dir", required=True)
+    fd.add_argument("--seq", required=True, help="one-letter sequence")
+    fd.add_argument("--out", default="fold.pdb")
+    fd.add_argument("--recycle", type=int, default=None)
+    fd.set_defaults(fn=cmd_fold)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,199 @@
+"""Production training loop: PDB directory -> trained FoldModel checkpoint.
+
+A framework surface the reference never had (it is a tensor library;
+README.md:7-12): a resumable, bucketed, checkpointed training loop driving
+the full stack — streaming ingest (pdbio/dataset.py), fused Pallas
+featurization, FoldModel (TrFold trunk + IPA structure module, optional
+recycling), trajectory-FAPE loss, orbax checkpointing — exposed both as a
+library call (:func:`train`) and the ``protstruc_tpu train`` / ``fold``
+CLI.
+
+Design (TPU):
+
+* batches stream through length buckets, so the jitted step compiles once
+  per (batch, bucket) shape; first epoch pays the compiles, later epochs
+  are steady-state.
+* checkpoints carry the model config (config.json) next to the orbax
+  state, so ``fold`` can rebuild the model without the training script.
+* resume is automatic: if the checkpoint dir has a step, training
+  continues from it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["TrainConfig", "train", "fold_sequence", "load_fold_model"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    steps: int = 1000
+    batch_size: int = 4
+    node_dim: int = 128
+    pair_dim: int = 64
+    n_heads: int = 4
+    n_blocks: int = 4
+    n_ipa_iter: int = 6
+    n_recycle: int = 1
+    sequence_only: bool = False   # train the sequence->structure path
+    learning_rate: float = 3e-4
+    grad_clip: float = 1.0
+    save_every: int = 500
+    seed: int = 0
+    shuffle: bool = True
+    bf16: bool = False
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        return json.dumps(d, indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "TrainConfig":
+        return cls(**json.loads(text))
+
+
+def _build_model(cfg: TrainConfig):
+    from protstruc_tpu.models.ipa import FoldModel, IPAConfig
+    from protstruc_tpu.models.trfold import TrFoldConfig
+
+    dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    trunk = TrFoldConfig(node_dim=cfg.node_dim, pair_dim=cfg.pair_dim,
+                         n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
+                         dtype=dtype)
+    return FoldModel(
+        trunk_cfg=trunk,
+        ipa_cfg=IPAConfig(n_heads=cfg.n_heads, n_iter=cfg.n_ipa_iter),
+        n_recycle=cfg.n_recycle,
+    )
+
+
+def _featurize(batch, cfg: TrainConfig, trunk_cfg):
+    from protstruc_tpu.models.trfold import (
+        featurize_for_model, featurize_from_sequence)
+
+    target = featurize_for_model(batch, fused=True,
+                                 n_dist_bins=trunk_cfg.n_dist_bins,
+                                 max_dist=trunk_cfg.max_dist)
+    if not cfg.sequence_only:
+        return target, None
+    feats = featurize_from_sequence(batch.get_seq_idx(), batch.chain_idx,
+                                    n_dist_bins=trunk_cfg.n_dist_bins)
+    feats["residue_mask"] = batch.residue_mask
+    return feats, target
+
+
+def train(
+    paths: Sequence[str],
+    checkpoint_dir: str,
+    cfg: TrainConfig = TrainConfig(),
+    log_fn=print,
+) -> dict:
+    """Train FoldModel over ``paths``; returns final metrics dict."""
+    import optax
+
+    from protstruc_tpu.models.checkpoint import (
+        latest_step, restore_train_state, save_train_state)
+    from protstruc_tpu.models.ipa import fold_loss_fn
+    from protstruc_tpu.pdbio.dataset import StructureDataset
+
+    model = _build_model(cfg)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
+                     optax.adamw(cfg.learning_rate))
+
+    ds = StructureDataset(paths, batch_size=cfg.batch_size,
+                          shuffle=cfg.shuffle, seed=cfg.seed)
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    with open(os.path.join(checkpoint_dir, "config.json"), "w") as fh:
+        fh.write(cfg.to_json())
+
+    @jax.jit
+    def step_fn(params, opt_state, feats, target, xyz):
+        loss, grads = jax.value_and_grad(fold_loss_fn)(
+            params, model, feats, xyz, target_feats=target)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = opt_state = None
+    start_step = 0
+    t0 = time.perf_counter()
+    step = 0
+    losses = []
+    while step < cfg.steps + start_step or params is None:
+        for batch in ds:
+            feats, target = _featurize(batch, cfg, model.trunk_cfg)
+            if params is None:
+                params = model.init(jax.random.PRNGKey(cfg.seed), feats)["params"]
+                opt_state = tx.init(params)
+                prev = latest_step(checkpoint_dir)
+                if prev is not None:
+                    params, opt_state, start_step = restore_train_state(
+                        checkpoint_dir, params_like=params,
+                        opt_state_like=opt_state)
+                    step = start_step
+                    log_fn(f"[train] resumed from step {start_step}")
+            params, opt_state, loss = step_fn(
+                params, opt_state, feats, target, batch.xyz)
+            step += 1
+            losses.append(float(loss))
+            if step % max(cfg.steps // 10, 1) == 0:
+                log_fn(f"[train] step {step:5d}  loss {losses[-1]:.4f}")
+            if cfg.save_every and step % cfg.save_every == 0:
+                save_train_state(checkpoint_dir, step, params, opt_state)
+            if step >= cfg.steps + start_step:
+                break
+
+    save_train_state(checkpoint_dir, step, params, opt_state)
+    dt = time.perf_counter() - t0
+    log_fn(f"[train] done: {step - start_step} steps in {dt:.0f}s "
+           f"({dt / max(step - start_step, 1) * 1e3:.0f} ms/step), "
+           f"final loss {losses[-1]:.4f}")
+    return {"steps": step, "final_loss": losses[-1], "seconds": dt}
+
+
+def load_fold_model(checkpoint_dir: str):
+    """Rebuild (model, params, cfg) from a training checkpoint dir."""
+    from protstruc_tpu.models.checkpoint import restore_train_state
+    from protstruc_tpu.models.trfold import featurize_from_sequence
+
+    with open(os.path.join(checkpoint_dir, "config.json")) as fh:
+        cfg = TrainConfig.from_json(fh.read())
+    model = _build_model(cfg)
+
+    dummy = featurize_from_sequence(
+        jnp.zeros((1, 8), jnp.int32), n_dist_bins=model.trunk_cfg.n_dist_bins)
+    params_like = model.init(jax.random.PRNGKey(0), dummy)["params"]
+    params, _, step = restore_train_state(checkpoint_dir,
+                                          params_like=params_like)
+    return model, params, cfg
+
+
+def fold_sequence(
+    checkpoint_dir: str,
+    sequence: str,
+    n_recycle: Optional[int] = None,
+) -> jnp.ndarray:
+    """Sequence string -> predicted backbone ``(L, 5, 3)`` N/CA/C/O/CB."""
+    from protstruc_tpu import geometry as geom
+    from protstruc_tpu.models.trfold import featurize_from_sequence
+    from protstruc_tpu.vocab import ressymb_to_resindex
+
+    model, params, cfg = load_fold_model(checkpoint_dir)
+    seq_idx = jnp.asarray(
+        [[ressymb_to_resindex.get(c, 20) for c in sequence.upper()]],
+        jnp.int32)
+    feats = featurize_from_sequence(seq_idx,
+                                    n_dist_bins=model.trunk_cfg.n_dist_bins)
+    nr = cfg.n_recycle if n_recycle is None else n_recycle
+    out = model.apply({"params": params}, feats, n_recycle=nr)
+    bb = out["xyz"][0]  # (L, 4, 3) N/CA/C/CB
+    o = geom.ideal_carbonyl_oxygen(bb[:, 0], bb[:, 1], bb[:, 2])
+    return jnp.stack([bb[:, 0], bb[:, 1], bb[:, 2], o, bb[:, 3]], axis=1)

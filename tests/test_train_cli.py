@@ -1,0 +1,69 @@
+"""Production training-loop surface: train -> checkpoint -> resume -> fold."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def small_pdb(tmp_path_factory):
+    """A 40-residue fragment of 1REX so the loop runs in seconds on CPU."""
+    import jax.numpy as jnp
+
+    import protstruc_tpu as ps
+    from protstruc_tpu.pdbio.writer import structure_batch_to_pdb
+
+    sb = ps.StructureBatch.from_pdb("tests/data/1REX.pdb")
+    sel = np.zeros(sb.chain_idx.shape, bool)
+    sel[:, :40] = True
+    frag = sb.residue_masked_select(jnp.asarray(sel))
+    path = tmp_path_factory.mktemp("data") / "frag.pdb"
+    structure_batch_to_pdb(frag, str(path))
+    return str(path)
+
+
+def test_train_checkpoint_resume_fold(small_pdb, tmp_path):
+    from protstruc_tpu.train import TrainConfig, fold_sequence, train
+
+    ck = str(tmp_path / "ck")
+    cfg = TrainConfig(steps=3, batch_size=1, node_dim=16, pair_dim=8,
+                      n_heads=2, n_blocks=1, n_ipa_iter=2, n_recycle=0,
+                      save_every=0, shuffle=False)
+    logs = []
+    m = train([small_pdb], ck, cfg, log_fn=lambda *a: logs.append(" ".join(map(str, a))))
+    assert m["steps"] == 3 and np.isfinite(m["final_loss"])
+    assert os.path.exists(os.path.join(ck, "config.json"))
+
+    # resume: continues from the saved step
+    m2 = train([small_pdb], ck, cfg, log_fn=lambda *a: logs.append(" ".join(map(str, a))))
+    assert m2["steps"] == 6
+    assert any("resumed from step 3" in l for l in logs)
+
+    # fold from the checkpoint: valid coordinates, right shapes
+    coords = np.asarray(fold_sequence(ck, "ACDEFGHIKLMNPQRSTVWY"))
+    assert coords.shape == (20, 5, 3)
+    assert np.isfinite(coords).all()
+    # carbonyl O is at the ideal bond length from C
+    d_co = np.linalg.norm(coords[:, 3] - coords[:, 2], axis=-1)
+    np.testing.assert_allclose(d_co, 1.231, atol=1e-4)
+
+
+def test_train_cli_and_fold_cli(small_pdb, tmp_path, capsys):
+    from protstruc_tpu.__main__ import main as cli_main
+
+    ck = str(tmp_path / "ck2")
+    rc = cli_main(["train", small_pdb, "--checkpoint-dir", ck,
+                   "--steps", "2", "--node-dim", "16", "--pair-dim", "8",
+                   "--blocks", "1", "--recycle", "0", "--save-every", "0"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["steps"] == 2
+
+    out = str(tmp_path / "fold.pdb")
+    rc = cli_main(["fold", "--checkpoint-dir", ck, "--seq", "ACDEFG",
+                   "--out", out])
+    assert rc == 0
+    text = open(out).read()
+    assert text.count("ATOM") >= 6 * 4  # >= N/CA/C/O per residue
