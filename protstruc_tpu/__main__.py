@@ -124,6 +124,8 @@ def cmd_train(args) -> int:
         n_blocks=args.blocks, n_recycle=args.recycle,
         sequence_only=args.sequence_only, learning_rate=args.lr,
         save_every=args.save_every, seed=args.seed, bf16=args.bf16,
+        mesh_shape=(tuple(int(x) for x in args.mesh.split(","))
+                    if args.mesh else None),
     )
     metrics = train(paths, args.checkpoint_dir, cfg,
                     log_fn=lambda *a: print(*a, file=sys.stderr))
@@ -186,6 +188,8 @@ def main(argv=None) -> int:
     t.add_argument("--save-every", type=int, default=500)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--bf16", action="store_true")
+    t.add_argument("--mesh", default=None,
+                   help="dp,sp,tp device mesh, e.g. 4,2,1")
     t.set_defaults(fn=cmd_train)
 
     fd = sub.add_parser("fold",

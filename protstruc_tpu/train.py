@@ -50,6 +50,12 @@ class TrainConfig:
     seed: int = 0
     shuffle: bool = True
     bf16: bool = False
+    # (dp, sp, tp) device-mesh factorization; None = single device.
+    # batch_size must divide dp, the length bucket must divide sp, and
+    # n_heads must divide tp.  Params shard per ipa_param_shardings
+    # (attention heads over tp), batches shard P(('dp',), 'sp') — XLA
+    # (GSPMD) inserts the collectives.
+    mesh_shape: Optional[tuple] = None
 
     def to_json(self) -> str:
         d = dataclasses.asdict(self)
@@ -57,7 +63,10 @@ class TrainConfig:
 
     @classmethod
     def from_json(cls, text: str) -> "TrainConfig":
-        return cls(**json.loads(text))
+        d = json.loads(text)
+        if d.get("mesh_shape") is not None:
+            d["mesh_shape"] = tuple(d["mesh_shape"])
+        return cls(**d)
 
 
 def _build_model(cfg: TrainConfig):
@@ -108,6 +117,14 @@ def train(
     tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
                      optax.adamw(cfg.learning_rate))
 
+    mesh = None
+    if cfg.mesh_shape is not None:
+        from protstruc_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(axis_shapes=cfg.mesh_shape)
+        log_fn(f"[train] mesh dp={cfg.mesh_shape[0]} sp={cfg.mesh_shape[1]} "
+               f"tp={cfg.mesh_shape[2]} over {mesh.size} devices")
+
     ds = StructureDataset(paths, batch_size=cfg.batch_size,
                           shuffle=cfg.shuffle, seed=cfg.seed)
 
@@ -129,10 +146,21 @@ def train(
     losses = []
     while step < cfg.steps + start_step or params is None:
         for batch in ds:
+            if mesh is not None:
+                from protstruc_tpu.parallel.mesh import shard_batch
+
+                batch = shard_batch(batch, mesh)
             feats, target = _featurize(batch, cfg, model.trunk_cfg)
             if params is None:
                 params = model.init(jax.random.PRNGKey(cfg.seed), feats)["params"]
-                opt_state = tx.init(params)
+                if mesh is not None:
+                    from protstruc_tpu.models.ipa import ipa_param_shardings
+
+                    params = jax.device_put(
+                        params, ipa_param_shardings(params, mesh))
+                    opt_state = jax.jit(tx.init)(params)
+                else:
+                    opt_state = tx.init(params)
                 prev = latest_step(checkpoint_dir)
                 if prev is not None:
                     params, opt_state, start_step = restore_train_state(
