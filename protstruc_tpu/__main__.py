@@ -139,12 +139,15 @@ def cmd_fold(args) -> int:
     from protstruc_tpu.pdbio.writer import to_pdb
     from protstruc_tpu.train import fold_sequence
 
-    coords = fold_sequence(args.checkpoint_dir, args.seq,
-                           n_recycle=args.recycle)
-    # writer layout: (5, L, 3) N/CA/C/O/CB
+    coords, plddt, pae = fold_sequence(args.checkpoint_dir, args.seq,
+                                       n_recycle=args.recycle,
+                                       return_confidence=True)
+    # writer layout: (5, L, 3) N/CA/C/O/CB; pLDDT in the B-factor column
     to_pdb(args.out, np.asarray(coords).transpose(1, 0, 2),
-           [args.seq.upper()], ["A"])
-    print(f"wrote {args.out} ({len(args.seq)} residues)")
+           [args.seq.upper()], ["A"], bfactors=np.asarray(plddt))
+    print(f"wrote {args.out} ({len(args.seq)} residues, "
+          f"mean pLDDT {float(np.asarray(plddt).mean()):.1f}, "
+          f"mean PAE {float(np.asarray(pae).mean()):.1f} A)")
     return 0
 
 

@@ -55,6 +55,10 @@ __all__ = [
     "backbone_xyz_from_frames",
     "fape_loss",
     "fold_loss_fn",
+    "confidence_losses",
+    "plddt_from_logits",
+    "pae_from_logits",
+    "aligned_error",
     "ipa_param_shardings",
 ]
 
@@ -304,6 +308,13 @@ class FoldModel(nn.Module):
         self.recycle_dist_embed = nn.Dense(
             self.trunk_cfg.pair_dim, dtype=self.trunk_cfg.dtype,
             name="recycle_dist_embed")
+        # confidence heads (AF2 1.9.6-1.9.7): per-residue binned predicted
+        # lDDT from the structure-module node, per-pair binned predicted
+        # aligned error from the pair representation.  f32 logits.
+        self.plddt_head = nn.Dense(PLDDT_BINS, dtype=jnp.float32,
+                                   name="plddt_head")
+        self.pae_head = nn.Dense(PAE_BINS, dtype=jnp.float32,
+                                 name="pae_head")
 
     def __call__(self, feats: Dict[str, jnp.ndarray], n_recycle: int = None):
         nr = self.n_recycle if n_recycle is None else n_recycle
@@ -340,7 +351,73 @@ class FoldModel(nn.Module):
         out["moe_aux_loss"] = jnp.asarray(moe_aux, jnp.float32)
         out["pair_repr"] = pair
         out.update(self.structure(node, pair, mask))
+        out["plddt_logits"] = self.plddt_head(out["node"])
+        out["pae_logits"] = self.pae_head(pair)
         return out
+
+
+PLDDT_BINS = 50          # 0.02-wide lDDT bins (AF2 supp. 1.9.6)
+PAE_BINS = 64
+PAE_MAX = 32.0           # angstroms; 0.5 A-wide bins
+
+
+def plddt_from_logits(logits: jnp.ndarray) -> jnp.ndarray:
+    """Per-residue predicted lDDT in [0, 100] from binned logits ``(..., 50)``."""
+    centers = (jnp.arange(PLDDT_BINS) + 0.5) / PLDDT_BINS
+    return 100.0 * jnp.sum(jax.nn.softmax(logits, -1) * centers, axis=-1)
+
+
+def pae_from_logits(logits: jnp.ndarray) -> jnp.ndarray:
+    """Expected aligned error (A) from binned logits ``(..., 64)``."""
+    centers = (jnp.arange(PAE_BINS) + 0.5) * (PAE_MAX / PAE_BINS)
+    return jnp.sum(jax.nn.softmax(logits, -1) * centers, axis=-1)
+
+
+def aligned_error(pred_frames, pred_ca, true_frames, true_ca) -> jnp.ndarray:
+    """Per-pair aligned error ``e_ij = |T_i^-1 x_j - (T_i^true)^-1 x_j^true|``.
+
+    The PAE target (AF2 supp. 1.9.7): residue j's CA expressed in residue
+    i's predicted vs true frame.  ``(B, L, L)``.
+    """
+    def local(frames, ca):
+        r, t = frames
+        r_inv = jnp.swapaxes(r, -2, -1)
+        rot = jnp.einsum("bixy,bjy->bijx", r_inv, ca)
+        shift = jnp.einsum("bixy,biy->bix", r_inv, t)
+        return rot - shift[:, :, None]
+
+    d2 = jnp.sum((local(pred_frames, pred_ca) - local(true_frames, true_ca))
+                 ** 2, axis=-1)
+    return jnp.sqrt(d2 + 1e-8)
+
+
+def confidence_losses(out, true_frames, true_ca, mask) -> jnp.ndarray:
+    """CE losses for the pLDDT and PAE heads (targets stop-gradiented).
+
+    The heads learn to *predict* the model's own per-residue lDDT and
+    per-pair aligned error without shaping the structure gradients.
+    """
+    from protstruc_tpu.ops.metrics import lddt
+
+    pred_ca = jax.lax.stop_gradient(out["xyz"][:, :, 1])
+    pred_frames = jax.tree_util.tree_map(jax.lax.stop_gradient, out["frames"])
+
+    true_per_res = lddt(pred_ca, true_ca, mask=mask, per_residue=True)
+    bins = jnp.clip((true_per_res * PLDDT_BINS).astype(jnp.int32),
+                    0, PLDDT_BINS - 1)
+    logp = jax.nn.log_softmax(out["plddt_logits"], -1)
+    ce_plddt = -jnp.take_along_axis(logp, bins[..., None], -1)[..., 0]
+    ce_plddt = jnp.sum(jnp.where(mask, ce_plddt, 0.0)) / jnp.maximum(
+        jnp.sum(mask), 1.0)
+
+    err = aligned_error(pred_frames, pred_ca, true_frames, true_ca)
+    ebins = jnp.clip((err / (PAE_MAX / PAE_BINS)).astype(jnp.int32),
+                     0, PAE_BINS - 1)
+    logp = jax.nn.log_softmax(out["pae_logits"], -1)
+    ce_pae = -jnp.take_along_axis(logp, ebins[..., None], -1)[..., 0]
+    pm = mask[:, :, None] & mask[:, None, :]
+    ce_pae = jnp.sum(jnp.where(pm, ce_pae, 0.0)) / jnp.maximum(jnp.sum(pm), 1.0)
+    return ce_plddt + ce_pae
 
 
 def fape_loss(
@@ -427,7 +504,9 @@ def fold_loss_fn(params, model: FoldModel, feats: Dict[str, jnp.ndarray],
         return fape_loss((r_i, t_i), xyz_i, (true_r, true_t), bb, bb_ok)
 
     fape = jnp.mean(jax.vmap(per_iter)((traj_r, traj_t)))
-    return trunk_loss + fape_weight * fape
+
+    conf = confidence_losses(out, (true_r, true_t), bb[:, :, 1], bb_ok)
+    return trunk_loss + fape_weight * fape + 0.01 * conf
 
 
 def _trunk_losses(out, feats, cfg) -> jnp.ndarray:

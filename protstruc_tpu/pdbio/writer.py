@@ -17,12 +17,14 @@ from protstruc_tpu.vocab import RESTYPE_HEAVY_ATOMS, AA, one2three
 __all__ = ["to_pdb", "structure_batch_to_pdb", "structure_batch_to_cif"]
 
 
-def _atom_line(serial, atom, aa3, chain_id, res_num, x, y, z) -> str:
+def _atom_line(serial, atom, aa3, chain_id, res_num, x, y, z,
+               bfactor=0.0) -> str:
     # same fixed layout as the reference writer (io.py:36): atom name
-    # left-justified from col 14, resname cols 18-20
+    # left-justified from col 14, resname cols 18-20; the B-factor column
+    # carries per-residue confidence (pLDDT) when given, AF2-style
     return (
         f"ATOM  {serial:5d}  {atom:4s}{aa3} {chain_id}{res_num:4d}    "
-        f"{x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00\n"
+        f"{x:8.3f}{y:8.3f}{z:8.3f}  1.00{bfactor:6.2f}\n"
     )
 
 
@@ -32,25 +34,32 @@ def to_pdb(
     sequences: List[str],
     chain_ids: List[str],
     atoms: List[str] = ("N", "CA", "C", "O", "CB"),
+    bfactors: np.ndarray = None,
 ) -> None:
     """Write ``(n_atoms, L, 3)`` per-atom-type backbone coords to a PDB file.
 
     ``sequences``: one-letter sequence per chain; ``chain_ids``: chain id per
-    chain; CB lines are skipped for glycine (io.py:30-31).
+    chain; CB lines are skipped for glycine (io.py:30-31).  ``bfactors``:
+    optional per-residue ``(L,)`` values for the B-factor column (e.g.
+    pLDDT confidence, AF2-style).
     """
     coords = np.asarray(coords)
+    if bfactors is not None:
+        bfactors = np.asarray(bfactors)
     with open(filename, "w") as out:
         coord_idx, serial = 0, 1
         for seq, chain_id in zip(sequences, chain_ids):
             res_num = 1
             for aa1 in seq:
                 aa3 = one2three[aa1]
+                b = float(bfactors[coord_idx]) if bfactors is not None else 0.0
                 for atom_idx, atom in enumerate(atoms):
                     if atom == "CB" and aa1 == "G":
                         continue
                     x, y, z = coords[atom_idx, coord_idx]
                     out.write(
-                        _atom_line(serial, atom, aa3, chain_id, res_num, x, y, z)
+                        _atom_line(serial, atom, aa3, chain_id, res_num,
+                                   x, y, z, b)
                     )
                     serial += 1
                 coord_idx += 1

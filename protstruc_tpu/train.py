@@ -208,9 +208,16 @@ def fold_sequence(
     checkpoint_dir: str,
     sequence: str,
     n_recycle: Optional[int] = None,
-) -> jnp.ndarray:
-    """Sequence string -> predicted backbone ``(L, 5, 3)`` N/CA/C/O/CB."""
+    return_confidence: bool = False,
+):
+    """Sequence string -> predicted backbone ``(L, 5, 3)`` N/CA/C/O/CB.
+
+    With ``return_confidence=True`` returns ``(coords, plddt (L,), pae
+    (L, L))`` — per-residue predicted lDDT in [0, 100] and the predicted
+    aligned-error matrix in angstroms (the model's own calibration heads).
+    """
     from protstruc_tpu import geometry as geom
+    from protstruc_tpu.models.ipa import pae_from_logits, plddt_from_logits
     from protstruc_tpu.models.trfold import featurize_from_sequence
     from protstruc_tpu.vocab import ressymb_to_resindex
 
@@ -224,4 +231,8 @@ def fold_sequence(
     out = model.apply({"params": params}, feats, n_recycle=nr)
     bb = out["xyz"][0]  # (L, 4, 3) N/CA/C/CB
     o = geom.ideal_carbonyl_oxygen(bb[:, 0], bb[:, 1], bb[:, 2])
-    return jnp.stack([bb[:, 0], bb[:, 1], bb[:, 2], o, bb[:, 3]], axis=1)
+    coords = jnp.stack([bb[:, 0], bb[:, 1], bb[:, 2], o, bb[:, 3]], axis=1)
+    if not return_confidence:
+        return coords
+    return (coords, plddt_from_logits(out["plddt_logits"][0]),
+            pae_from_logits(out["pae_logits"][0]))

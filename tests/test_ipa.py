@@ -405,3 +405,80 @@ class TestFoldQualityArtifact:
         rmsds = [row["ca_rmsd"] for row in art["curve"]]
         assert rmsds[-1] == min(rmsds)
         assert art["curve"][0]["ca_lddt"] < 0.05  # started from random
+
+
+class TestConfidenceHeads:
+    def test_logits_shapes_and_decoders(self):
+        sb, feats, model, params = TestFoldModel._setup(TestFoldModel())
+        from protstruc_tpu.models.ipa import (
+            PAE_BINS, PLDDT_BINS, pae_from_logits, plddt_from_logits)
+
+        out = model.apply({"params": params}, feats)
+        B, L = feats["seq_idx"].shape
+        assert out["plddt_logits"].shape == (B, L, PLDDT_BINS)
+        assert out["pae_logits"].shape == (B, L, L, PAE_BINS)
+        p = np.asarray(plddt_from_logits(out["plddt_logits"]))
+        e = np.asarray(pae_from_logits(out["pae_logits"]))
+        assert ((p >= 0) & (p <= 100)).all()
+        assert ((e >= 0) & (e <= 32)).all()
+
+    def test_aligned_error_identity_and_shift(self):
+        """PAE target: zero for identical structures; equals |shift| when
+        the prediction is rigidly offset but its frames are unmoved... no —
+        frames move with the structure, so a rigid motion gives zero too."""
+        from protstruc_tpu.models.ipa import aligned_error
+        from protstruc_tpu.ops.rigid import random_rotations
+
+        key = jax.random.PRNGKey(0)
+        xyz = jax.random.normal(key, (2, 8, 4, 3)) * 5.0
+        frames = frames_from_backbone(xyz)
+        ca = xyz[:, :, 1]
+        e0 = aligned_error(frames, ca, frames, ca)
+        assert float(jnp.max(e0)) < 1e-3
+
+        # rigid motion of the prediction: aligned error stays ~zero
+        rg = random_rotations(jax.random.PRNGKey(1), (2,))
+        xyz_m = jnp.einsum("bij,blaj->blai", rg, xyz) + 7.0
+        fm = frames_from_backbone(xyz_m)
+        e1 = aligned_error(fm, xyz_m[:, :, 1], frames, ca)
+        assert float(jnp.max(e1)) < 1e-3
+
+        # genuinely distorted prediction: positive error
+        xyz_d = xyz.at[:, 4:].add(3.0)
+        fd = frames_from_backbone(xyz_d)
+        e2 = aligned_error(fd, xyz_d[:, :, 1], frames, ca)
+        assert float(jnp.max(e2)) > 1.0
+
+    def test_confidence_learns_calibration(self):
+        """After an overfit, mean pLDDT should be high (the model IS good
+        on its training structure) and the confidence CE should fall."""
+        import optax
+
+        sb, feats, model, params = TestFoldModel._setup(TestFoldModel())
+        from protstruc_tpu.models.ipa import plddt_from_logits
+        from protstruc_tpu.ops.metrics import lddt
+
+        tx = optax.adam(1e-3)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(p, o):
+            l, g = jax.value_and_grad(
+                lambda q: fold_loss_fn(q, model, feats, sb.xyz))(p)
+            u, o = tx.update(g, o, p)
+            return optax.apply_updates(p, u), o, l
+
+        for _ in range(60):
+            params, opt, _ = step(params, opt)
+
+        out = model.apply({"params": params}, feats)
+        mask = feats["residue_mask"] & jnp.isfinite(sb.xyz[:, :, 1]).all(-1)
+        true_l = lddt(out["xyz"][:, :, 1],
+                      jnp.nan_to_num(sb.xyz[:, :, 1], nan=1e6),
+                      mask=mask, per_residue=True)
+        pred_l = plddt_from_logits(out["plddt_logits"]) / 100.0
+        m = np.asarray(mask)
+        err = np.abs(np.asarray(true_l) - np.asarray(pred_l))[m].mean()
+        # calibration: predicted lDDT tracks true lDDT on the training
+        # data (tiny model, 60 steps, 0.01 loss weight -> loose bound)
+        assert err < 0.3, err
