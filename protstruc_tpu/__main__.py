@@ -142,6 +142,21 @@ def cmd_fold(args) -> int:
     coords, plddt, pae = fold_sequence(args.checkpoint_dir, args.seq,
                                        n_recycle=args.recycle,
                                        return_confidence=True)
+    if args.relax:
+        import protstruc_tpu as ps
+
+        L = coords.shape[0]
+        full = np.full((1, L, 15, 3), np.nan, np.float32)
+        full[0, :, :5] = np.asarray(coords)
+        seq = args.seq.upper()
+        sb = ps.StructureBatch.from_xyz(
+            full, chain_idx=np.zeros((1, L)), chain_ids=[["A"]],
+            seq=[{"A": seq}])
+        relaxed, e = sb.relax(n_steps=args.relax)
+        coords = relaxed.xyz[0, :, :5]
+        print(f"relaxed {args.relax} steps: energy "
+              f"{float(e['initial'][0]):.1f} -> {float(e['final'][0]):.1f}",
+              file=sys.stderr)
     # writer layout: (5, L, 3) N/CA/C/O/CB; pLDDT in the B-factor column
     to_pdb(args.out, np.asarray(coords).transpose(1, 0, 2),
            [args.seq.upper()], ["A"], bfactors=np.asarray(plddt))
@@ -201,6 +216,8 @@ def main(argv=None) -> int:
     fd.add_argument("--seq", required=True, help="one-letter sequence")
     fd.add_argument("--out", default="fold.pdb")
     fd.add_argument("--recycle", type=int, default=None)
+    fd.add_argument("--relax", type=int, default=0, metavar="STEPS",
+                    help="gradient-relax the output for STEPS steps")
     fd.set_defaults(fn=cmd_fold)
 
     args = p.parse_args(argv)

@@ -624,6 +624,19 @@ class StructureBatch:
                        **kwargs)
         return self.replace(xyz=xyz)
 
+    def relax(self, **kwargs) -> Tuple["StructureBatch", dict]:
+        """Gradient-relax coordinates against bonded + clash energy.
+
+        Returns ``(relaxed_batch, energies)`` (ops/relax.py: adam under
+        ``lax.scan``, missing atoms frozen, optional tether to the input).
+        """
+        from protstruc_tpu.ops.relax import relax_structure
+
+        xyz, energies = relax_structure(
+            self.xyz, self.atom_mask, self.get_seq_idx(), self.chain_idx,
+            **kwargs)
+        return self.replace(xyz=xyz), energies
+
     def get_local_xyz(self) -> jnp.ndarray:
         """Atom coordinates rotated into each residue's local frame.
 
