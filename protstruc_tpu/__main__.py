@@ -62,6 +62,14 @@ def cmd_analyze(args) -> int:
         "strand_frac": [round(float((ss[i] == 2)[rmask[i]].mean()), 3)
                         for i in range(sb.batch_size)],
     }
+    if args.ss8:
+        from protstruc_tpu.ops.secondary import SS8_LETTERS
+
+        ss8 = np.asarray(sb.secondary_structure_8())
+        report["dssp8"] = [
+            "".join(SS8_LETTERS[k] for k in ss8[i][rmask[i]])
+            for i in range(sb.batch_size)
+        ]
     if args.sasa:
         report["total_sasa_A2"] = [
             round(float(x), 1) for x in np.asarray(sb.sasa().sum(axis=1))
@@ -181,6 +189,8 @@ def main(argv=None) -> int:
     a.add_argument("inputs", nargs="+")
     a.add_argument("--sasa", action="store_true",
                    help="include Shrake-Rupley SASA (slower)")
+    a.add_argument("--ss8", action="store_true",
+                   help="include the per-residue 8-class DSSP string")
     a.set_defaults(fn=cmd_analyze)
 
     c = sub.add_parser("convert", help="PDB <-> mmCIF conversion")

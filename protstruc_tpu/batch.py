@@ -609,6 +609,23 @@ class StructureBatch:
         xyz = _rot(self.xyz, self.get_seq_idx(), delta, self.atom_mask)
         return self.replace(xyz=xyz)
 
+    def secondary_structure_8(self) -> jnp.ndarray:
+        """Full 8-class DSSP assignment per residue, ``(B, L)`` int32.
+
+        Codes per ``ops.secondary.SS8_LETTERS`` ("CHEGIBTS"): alpha/3-10/pi
+        helices, strand/isolated bridge, H-bonded turn, bend, coil.
+        """
+        from protstruc_tpu.ops.secondary import assign_secondary_structure_8
+
+        xyz = jnp.nan_to_num(self.xyz, nan=0.0)
+        return assign_secondary_structure_8(
+            xyz[:, :, int(ATOM.N)],
+            xyz[:, :, int(ATOM.CA)],
+            xyz[:, :, int(ATOM.C)],
+            xyz[:, :, int(ATOM.O)],
+            self.residue_mask,
+        )
+
     def clash_energy(self, tolerance: float = 0.4) -> jnp.ndarray:
         """Inter-residue vdW-overlap clash energy, ``(B,)`` (ops/pack.py)."""
         from protstruc_tpu.ops.pack import clash_energy as _clash

@@ -125,3 +125,62 @@ class TestAuthorAnnotationOracle:
         assert (any_[called_e] == SS_STRAND).mean() >= 0.75  # measured 0.86
         helix = alpha == SS_HELIX
         assert (ss[helix] == SS_HELIX).mean() >= 0.5  # 12 residues, measured 0.67
+
+
+class TestSS8:
+    """Full 8-class DSSP alphabet (helices G/H/I, E/B, T, S, C)."""
+
+    @staticmethod
+    def _ss8_of(sb):
+        from protstruc_tpu.ops.secondary import assign_secondary_structure_8
+
+        xyz = jnp.nan_to_num(sb.get_xyz(), nan=0.0)
+        return assign_secondary_structure_8(
+            xyz[:, :, 0], xyz[:, :, 1], xyz[:, :, 2], xyz[:, :, 3],
+            sb.residue_mask)
+
+    def test_310_helix_oracle_1rex(self):
+        """Author class-5 HELIX records (3-10) are detected as G — the
+        alpha-only 3-class correctly leaves them coil; the 8-class must
+        pick them up."""
+        from protstruc_tpu.ops.secondary import SS8_310, SS8_HELIX
+        from protstruc_tpu.pdbio.annotations import parse_ss_records
+        from protstruc_tpu.pdbio.parser import parse_pdb
+
+        sb = StructureBatch.from_pdb(pdb_path("1REX.pdb"))
+        ss8 = np.asarray(self._ss8_of(sb))[0]
+        st = parse_pdb(pdb_path("1REX.pdb"))
+        g_res = np.zeros(len(st.residue_number), bool)
+        for r in parse_ss_records(pdb_path("1REX.pdb")):
+            if r.kind == "helix" and r.helix_class == 5:
+                g_res |= ((st.chain_id_per_res == r.chain_id)
+                          & (st.residue_number >= r.start)
+                          & (st.residue_number <= r.end))
+        assert g_res.sum() >= 10
+        hit = ss8[: len(g_res)][g_res] == SS8_310
+        assert hit.mean() >= 0.8, hit.mean()  # measured 14/15
+
+    def test_consistent_with_3class_on_cores(self):
+        """8->3 grouping agrees with the 3-class assignment on alpha-helix
+        and strand residues (the classes both alphabets define)."""
+        from protstruc_tpu.ops.secondary import SS8_TO_3
+
+        sb = StructureBatch.from_pdb(pdb_path("1ad0_DC.pdb"))
+        ss3, _ = _ss_of(sb)
+        ss8 = self._ss8_of(sb)
+        grouped = np.asarray(SS8_TO_3)[np.asarray(ss8)]
+        ss3 = np.asarray(ss3)
+        core = (ss3 == SS_HELIX) | (ss3 == SS_STRAND)
+        agree = (grouped == ss3)[core].mean()
+        assert agree >= 0.95, agree
+
+    def test_ideal_helix_is_H(self):
+        from protstruc_tpu.ops.secondary import SS8_HELIX
+
+        tor = np.zeros((1, 30, 3), np.float32)
+        tor[:, :, 0] = -1.05
+        tor[:, :, 1] = -0.79
+        tor[:, :, 2] = np.pi
+        sb = StructureBatch.from_dihedrals(tor)
+        ss8 = np.asarray(self._ss8_of(sb))[0]
+        assert (ss8[4:-6] == SS8_HELIX).mean() > 0.8
