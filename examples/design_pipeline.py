@@ -155,6 +155,13 @@ def main():
                                   n_proposals=6)
     e1 = float(packed.clash_energy()[0])
     print(f"[pack] clash energy {e0:.2f} -> {e1:.2f}")
+
+    # gradient relaxation: ideal bonded geometry + clash wall (ops/relax)
+    packed, er = packed.relax(n_steps=150)
+    print(f"[relax] total energy {float(er['initial'][0]):.1f} -> "
+          f"{float(er['final'][0]):.1f} "
+          f"(clash {float(er['clash_initial'][0]):.2f} -> "
+          f"{float(er['clash_final'][0]):.2f})")
     print(f"[validate] Rg {float(packed.radius_of_gyration()[0]):.1f} A, "
           f"SS classes {np.unique(np.asarray(packed.secondary_structure())).tolist()}")
 

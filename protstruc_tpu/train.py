@@ -50,6 +50,11 @@ class TrainConfig:
     seed: int = 0
     shuffle: bool = True
     bf16: bool = False
+    # observability: append {"step", "loss", "ms", "t"} lines to
+    # <checkpoint_dir>/metrics.jsonl every log interval; capture an XProf
+    # trace of steps 3-6 into profile_dir when set
+    metrics_jsonl: bool = True
+    profile_dir: Optional[str] = None
     # (dp, sp, tp) device-mesh factorization; None = single device.
     # batch_size must divide dp, the length bucket must divide sp, and
     # n_heads must divide tp.  Params shard per ipa_param_shardings
@@ -168,12 +173,27 @@ def train(
                         opt_state_like=opt_state)
                     step = start_step
                     log_fn(f"[train] resumed from step {start_step}")
+            if cfg.profile_dir and step - start_step == 3:
+                jax.profiler.start_trace(cfg.profile_dir)
+            t_step = time.perf_counter()
             params, opt_state, loss = step_fn(
                 params, opt_state, feats, target, batch.xyz)
             step += 1
-            losses.append(float(loss))
+            losses.append(float(loss))  # blocks: host-visible step time
+            step_ms = (time.perf_counter() - t_step) * 1e3
+            if cfg.profile_dir and step - start_step == 6:
+                jax.profiler.stop_trace()
+                log_fn(f"[train] XProf trace (steps 3-6) -> {cfg.profile_dir}")
             if step % max(cfg.steps // 10, 1) == 0:
-                log_fn(f"[train] step {step:5d}  loss {losses[-1]:.4f}")
+                log_fn(f"[train] step {step:5d}  loss {losses[-1]:.4f}  "
+                       f"{step_ms:.0f} ms")
+                if cfg.metrics_jsonl:
+                    with open(os.path.join(checkpoint_dir,
+                                           "metrics.jsonl"), "a") as fh:
+                        fh.write(json.dumps(
+                            {"step": step, "loss": losses[-1],
+                             "ms": round(step_ms, 1),
+                             "t": round(time.perf_counter() - t0, 1)}) + "\n")
             if cfg.save_every and step % cfg.save_every == 0:
                 save_train_state(checkpoint_dir, step, params, opt_state)
             if step >= cfg.steps + start_step:

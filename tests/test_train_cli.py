@@ -91,3 +91,20 @@ def test_train_on_device_mesh(small_pdb, tmp_path):
 
     coords = np.asarray(fold_sequence(ck, "ACDEFGHIKL"))
     assert coords.shape == (10, 5, 3) and np.isfinite(coords).all()
+
+
+def test_metrics_jsonl_written(small_pdb, tmp_path):
+    import json as _json
+
+    from protstruc_tpu.train import TrainConfig, train
+
+    ck = str(tmp_path / "ck_metrics")
+    cfg = TrainConfig(steps=3, batch_size=1, node_dim=16, pair_dim=8,
+                      n_heads=2, n_blocks=1, n_ipa_iter=2, n_recycle=0,
+                      save_every=0, shuffle=False)
+    train([small_pdb], ck, cfg, log_fn=lambda *a: None)
+    lines = open(os.path.join(ck, "metrics.jsonl")).read().strip().splitlines()
+    assert len(lines) >= 3
+    rec = _json.loads(lines[-1])
+    assert {"step", "loss", "ms", "t"} <= set(rec)
+    assert np.isfinite(rec["loss"]) and rec["ms"] > 0
