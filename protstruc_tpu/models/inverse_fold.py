@@ -247,6 +247,10 @@ def ar_sample_sequence(
         logits = model.apply({"params": params}, f)  # (B, L, V)
         row = jnp.take_along_axis(logits, pos[:, None, None].repeat(
             logits.shape[-1], -1), axis=1)[:, 0]     # (B, V)
+        # a designer never emits UNK: mask vocab indices beyond the 20
+        # standard amino acids (UNK=20 is the padding/teacher-context class)
+        aa_ok = jnp.arange(row.shape[-1]) < 20
+        row = jnp.where(aa_ok[None, :], row, -1e9)
         draw = jax.random.categorical(kstep, row / t, axis=-1).astype(jnp.int32)
         keep = (
             fixed_mask[jnp.arange(B), pos]

@@ -188,3 +188,33 @@ class TestAutoregressive:
         assert float(l) < first
         rec = float(sequence_recovery(params, model, feats))
         assert rec > 0.3  # well above the 1/20 chance level
+
+
+def test_ar_sampling_never_emits_unk():
+    """The designer's vocabulary is the 20 standard AAs; UNK (20) is the
+    padding/teacher-context class and must never be sampled, even at high
+    temperature from an untrained model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import protstruc_tpu as ps
+    from protstruc_tpu.models.inverse_fold import (
+        InverseFold, InverseFoldConfig, ar_sample_sequence,
+        featurize_backbone, random_decode_order)
+
+    sb = ps.StructureBatch.from_pdb("tests/data/1REX.pdb")
+    feats = featurize_backbone(sb)
+    feats["target_seq"] = jnp.zeros(sb.chain_idx.shape, jnp.int32)
+    cfg = InverseFoldConfig(node_dim=16, pair_dim=8, n_heads=2,
+                            n_blocks=1, n_decoder_blocks=1)
+    model = InverseFold(cfg)
+    rank = random_decode_order(jax.random.PRNGKey(0),
+                               feats["residue_mask"].shape)
+    params = model.init(
+        jax.random.PRNGKey(1),
+        dict(feats, prev_seq=feats["target_seq"], decode_rank=rank))["params"]
+    seq = ar_sample_sequence(params, model, feats, jax.random.PRNGKey(2),
+                             temperature=5.0)
+    m = np.asarray(sb.residue_mask)
+    assert (np.asarray(seq)[m] < 20).all()
