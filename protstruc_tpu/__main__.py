@@ -62,6 +62,14 @@ def cmd_analyze(args) -> int:
         "strand_frac": [round(float((ss[i] == 2)[rmask[i]].mean()), 3)
                         for i in range(sb.batch_size)],
     }
+    rama, rv = sb.ramachandran_classes()
+    rama, rv = np.asarray(rama), np.asarray(rv)
+    report["rama_favored_frac"] = [
+        round(float((rama[i] == 0)[rv[i]].mean()), 3)
+        for i in range(sb.batch_size)]
+    report["rama_outlier_frac"] = [
+        round(float((rama[i] == 2)[rv[i]].mean()), 3)
+        for i in range(sb.batch_size)]
     if args.ss8:
         from protstruc_tpu.ops.secondary import SS8_LETTERS
 

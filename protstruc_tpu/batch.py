@@ -609,6 +609,23 @@ class StructureBatch:
         xyz = _rot(self.xyz, self.get_seq_idx(), delta, self.atom_mask)
         return self.replace(xyz=xyz)
 
+    def ramachandran_classes(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Per-residue Ramachandran classification (ops/rama.py).
+
+        Returns ``(classes (B, L) int32, valid (B, L) bool)``:
+        0 favored / 1 allowed / 2 outlier over residues with defined
+        phi AND psi; reduce with ``valid`` for structure-level fractions.
+        """
+        from protstruc_tpu.ops.rama import ramachandran_classes as _rama
+
+        d, m = self.backbone_dihedrals()
+        phi, psi = d[..., 0], d[..., 1]
+        valid = (m[..., 0] & m[..., 1]
+                 & jnp.isfinite(phi) & jnp.isfinite(psi))
+        cls = _rama(jnp.nan_to_num(phi), jnp.nan_to_num(psi),
+                    self.get_seq_idx(), valid)
+        return cls, valid
+
     def secondary_structure_8(self) -> jnp.ndarray:
         """Full 8-class DSSP assignment per residue, ``(B, L)`` int32.
 
