@@ -142,9 +142,11 @@ def cmd_train(args) -> int:
         save_every=args.save_every, seed=args.seed, bf16=args.bf16,
         mesh_shape=(tuple(int(x) for x in args.mesh.split(","))
                     if args.mesh else None),
+        crop_len=args.crop,
     )
     metrics = train(paths, args.checkpoint_dir, cfg,
-                    log_fn=lambda *a: print(*a, file=sys.stderr))
+                    log_fn=lambda *a: print(*a, file=sys.stderr),
+                    eval_paths=args.eval)
     print(json.dumps(metrics))
     return 0
 
@@ -158,16 +160,19 @@ def cmd_fold(args) -> int:
     coords, plddt, pae = fold_sequence(args.checkpoint_dir, args.seq,
                                        n_recycle=args.recycle,
                                        return_confidence=True)
+    chains = args.seq.upper().split(":")
+    chain_ids = [chr(ord("A") + i) for i in range(len(chains))]
+    n_res = sum(len(c) for c in chains)
     if args.relax:
         import protstruc_tpu as ps
 
         L = coords.shape[0]
         full = np.full((1, L, 15, 3), np.nan, np.float32)
         full[0, :, :5] = np.asarray(coords)
-        seq = args.seq.upper()
+        cidx = np.asarray([k for k, ch in enumerate(chains) for _ in ch])
         sb = ps.StructureBatch.from_xyz(
-            full, chain_idx=np.zeros((1, L)), chain_ids=[["A"]],
-            seq=[{"A": seq}])
+            full, chain_idx=cidx[None], chain_ids=[chain_ids],
+            seq=[dict(zip(chain_ids, chains))])
         relaxed, e = sb.relax(n_steps=args.relax)
         coords = relaxed.xyz[0, :, :5]
         print(f"relaxed {args.relax} steps: energy "
@@ -175,8 +180,8 @@ def cmd_fold(args) -> int:
               file=sys.stderr)
     # writer layout: (5, L, 3) N/CA/C/O/CB; pLDDT in the B-factor column
     to_pdb(args.out, np.asarray(coords).transpose(1, 0, 2),
-           [args.seq.upper()], ["A"], bfactors=np.asarray(plddt))
-    print(f"wrote {args.out} ({len(args.seq)} residues, "
+           chains, chain_ids, bfactors=np.asarray(plddt))
+    print(f"wrote {args.out} ({n_res} residues, {len(chains)} chain(s), "
           f"mean pLDDT {float(np.asarray(plddt).mean()):.1f}, "
           f"mean PAE {float(np.asarray(pae).mean()):.1f} A)")
     return 0
@@ -226,6 +231,10 @@ def main(argv=None) -> int:
     t.add_argument("--bf16", action="store_true")
     t.add_argument("--mesh", default=None,
                    help="dp,sp,tp device mesh, e.g. 4,2,1")
+    t.add_argument("--crop", type=int, default=None, metavar="LEN",
+                   help="train on random contiguous crops of LEN residues")
+    t.add_argument("--eval", nargs="+", default=None, metavar="PDB",
+                   help="held-out structures: CA-lDDT/RMSD at each save")
     t.set_defaults(fn=cmd_train)
 
     fd = sub.add_parser("fold",

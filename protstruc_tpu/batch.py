@@ -905,7 +905,7 @@ class StructureBatch:
             seq=self.seq,
         )
 
-    def random_crop(self, key: jax.Array, size: int) -> "StructureBatch":
+    def random_crop(self, key: jax.Array, size: int, extras=()):
         """Contiguous random residue window per structure (static size).
 
         Standard training transform (not in the reference): each structure
@@ -915,8 +915,11 @@ class StructureBatch:
         jit/scan-safe.
 
         ``seq`` metadata cannot follow a traced crop offset and is dropped;
-        capture ``get_seq_idx()`` *before* cropping and crop it alongside if
-        sequence conditioning is needed.
+        capture ``get_seq_idx()`` *before* cropping and pass it through
+        ``extras`` (a tuple of ``(B, L, ...)`` arrays cropped with the same
+        per-structure offsets) if sequence conditioning is needed.  Returns
+        the cropped batch, or ``(batch, cropped_extras)`` when ``extras``
+        is non-empty.
         """
         if size > self.n_residues:
             raise ValueError(f"crop size {size} > padded length {self.n_residues}")
@@ -932,13 +935,16 @@ class StructureBatch:
 
             return jax.vmap(one)(x, starts)
 
-        return self.replace(
+        cropped = self.replace(
             xyz=crop(self.xyz),
             atom_mask=crop(self.atom_mask),
             chain_idx=crop(self.chain_idx),
             residue_idx=crop(self.residue_idx),
             seq=None,
         )
+        if extras:
+            return cropped, tuple(crop(jnp.asarray(e)) for e in extras)
+        return cropped
 
     def residue_compact(self, mask) -> "StructureBatch":
         """Device-side mask-and-compact: selected residues moved to the front.

@@ -55,6 +55,10 @@ class TrainConfig:
     # trace of steps 3-6 into profile_dir when set
     metrics_jsonl: bool = True
     profile_dir: Optional[str] = None
+    # data augmentation: train on random contiguous crops of this many
+    # residues (AF2-style); also collapses every length bucket to one
+    # compiled shape
+    crop_len: Optional[int] = None
     # (dp, sp, tp) device-mesh factorization; None = single device.
     # batch_size must divide dp, the length bucket must divide sp, and
     # n_heads must divide tp.  Params shard per ipa_param_shardings
@@ -89,19 +93,49 @@ def _build_model(cfg: TrainConfig):
     )
 
 
-def _featurize(batch, cfg: TrainConfig, trunk_cfg):
+def _featurize(batch, cfg: TrainConfig, trunk_cfg, key=None):
     from protstruc_tpu.models.trfold import (
         featurize_for_model, featurize_from_sequence)
 
+    seq_idx = batch.get_seq_idx() if batch.seq is not None else None
+    if cfg.crop_len and key is not None and cfg.crop_len < batch.n_residues:
+        if seq_idx is None:
+            batch = batch.random_crop(key, cfg.crop_len)
+        else:
+            batch, (seq_idx,) = batch.random_crop(key, cfg.crop_len,
+                                                  extras=(seq_idx,))
     target = featurize_for_model(batch, fused=True,
                                  n_dist_bins=trunk_cfg.n_dist_bins,
                                  max_dist=trunk_cfg.max_dist)
+    if seq_idx is not None:
+        target["seq_idx"] = seq_idx
     if not cfg.sequence_only:
-        return target, None
-    feats = featurize_from_sequence(batch.get_seq_idx(), batch.chain_idx,
+        return target, None, batch
+    feats = featurize_from_sequence(target["seq_idx"], batch.chain_idx,
                                     n_dist_bins=trunk_cfg.n_dist_bins)
     feats["residue_mask"] = batch.residue_mask
-    return feats, target
+    return feats, target, batch
+
+
+def evaluate(model, params, paths: Sequence[str], cfg: TrainConfig) -> dict:
+    """Held-out structure metrics: mean CA-lDDT and aligned CA-RMSD."""
+    import numpy as np
+
+    from protstruc_tpu.ops.metrics import lddt, rmsd
+    from protstruc_tpu.pdbio.dataset import StructureDataset
+
+    ls, rs = [], []
+    for batch in StructureDataset(list(paths), batch_size=cfg.batch_size,
+                                  shuffle=False):
+        feats, _target, batch = _featurize(batch, cfg, model.trunk_cfg)
+        out = model.apply({"params": params}, feats)
+        ca_true = jnp.nan_to_num(batch.xyz[:, :, 1], nan=1e6)
+        mask = batch.residue_mask & jnp.isfinite(batch.xyz[:, :, 1]).all(-1)
+        ls.append(np.asarray(lddt(out["xyz"][:, :, 1], ca_true, mask=mask)))
+        rs.append(np.asarray(rmsd(out["xyz"][:, :, 1], ca_true, mask=mask,
+                                  align=True)))
+    return {"eval_ca_lddt": float(np.concatenate(ls).mean()),
+            "eval_ca_rmsd": float(np.concatenate(rs).mean())}
 
 
 def train(
@@ -109,8 +143,14 @@ def train(
     checkpoint_dir: str,
     cfg: TrainConfig = TrainConfig(),
     log_fn=print,
+    eval_paths: Sequence[str] = None,
 ) -> dict:
-    """Train FoldModel over ``paths``; returns final metrics dict."""
+    """Train FoldModel over ``paths``; returns final metrics dict.
+
+    ``eval_paths``: optional held-out structures — mean CA-lDDT / CA-RMSD
+    are computed at every checkpoint save and at the end (recorded in
+    metrics.jsonl and the returned dict).
+    """
     import optax
 
     from protstruc_tpu.models.checkpoint import (
@@ -155,7 +195,9 @@ def train(
                 from protstruc_tpu.parallel.mesh import shard_batch
 
                 batch = shard_batch(batch, mesh)
-            feats, target = _featurize(batch, cfg, model.trunk_cfg)
+            feats, target, batch = _featurize(
+                batch, cfg, model.trunk_cfg,
+                key=jax.random.PRNGKey(cfg.seed * 100003 + step))
             if params is None:
                 params = model.init(jax.random.PRNGKey(cfg.seed), feats)["params"]
                 if mesh is not None:
@@ -196,15 +238,28 @@ def train(
                              "t": round(time.perf_counter() - t0, 1)}) + "\n")
             if cfg.save_every and step % cfg.save_every == 0:
                 save_train_state(checkpoint_dir, step, params, opt_state)
+                if eval_paths:
+                    ev = evaluate(model, params, eval_paths, cfg)
+                    log_fn(f"[eval] step {step}: "
+                           + " ".join(f"{k}={v:.3f}" for k, v in ev.items()))
+                    if cfg.metrics_jsonl:
+                        with open(os.path.join(checkpoint_dir,
+                                               "metrics.jsonl"), "a") as fh:
+                            fh.write(json.dumps(dict(ev, step=step)) + "\n")
             if step >= cfg.steps + start_step:
                 break
 
     save_train_state(checkpoint_dir, step, params, opt_state)
     dt = time.perf_counter() - t0
+    result = {"steps": step, "final_loss": losses[-1], "seconds": dt}
+    if eval_paths:
+        result.update(evaluate(model, params, eval_paths, cfg))
+        log_fn("[eval] final: " + " ".join(
+            f"{k}={v:.3f}" for k, v in result.items() if k.startswith("eval")))
     log_fn(f"[train] done: {step - start_step} steps in {dt:.0f}s "
            f"({dt / max(step - start_step, 1) * 1e3:.0f} ms/step), "
            f"final loss {losses[-1]:.4f}")
-    return {"steps": step, "final_loss": losses[-1], "seconds": dt}
+    return result
 
 
 def load_fold_model(checkpoint_dir: str):
@@ -232,6 +287,11 @@ def fold_sequence(
 ):
     """Sequence string -> predicted backbone ``(L, 5, 3)`` N/CA/C/O/CB.
 
+    Multi-chain complexes: separate chains with ``:`` (e.g.
+    ``"MKV...:GSH..."``) — chain breaks enter through the cross-chain
+    relative-position class of the trunk's pair embedding.  ``L`` is the
+    total residue count.
+
     With ``return_confidence=True`` returns ``(coords, plddt (L,), pae
     (L, L))`` — per-residue predicted lDDT in [0, 100] and the predicted
     aligned-error matrix in angstroms (the model's own calibration heads).
@@ -242,10 +302,13 @@ def fold_sequence(
     from protstruc_tpu.vocab import ressymb_to_resindex
 
     model, params, cfg = load_fold_model(checkpoint_dir)
+    chains = sequence.upper().split(":")
     seq_idx = jnp.asarray(
-        [[ressymb_to_resindex.get(c, 20) for c in sequence.upper()]],
+        [[ressymb_to_resindex.get(c, 20) for ch in chains for c in ch]],
         jnp.int32)
-    feats = featurize_from_sequence(seq_idx,
+    chain_idx = jnp.asarray(
+        [[k for k, ch in enumerate(chains) for _ in ch]], jnp.int32)
+    feats = featurize_from_sequence(seq_idx, chain_idx,
                                     n_dist_bins=model.trunk_cfg.n_dist_bins)
     nr = cfg.n_recycle if n_recycle is None else n_recycle
     out = model.apply({"params": params}, feats, n_recycle=nr)

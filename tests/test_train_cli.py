@@ -108,3 +108,44 @@ def test_metrics_jsonl_written(small_pdb, tmp_path):
     rec = _json.loads(lines[-1])
     assert {"step", "loss", "ms", "t"} <= set(rec)
     assert np.isfinite(rec["loss"]) and rec["ms"] > 0
+
+
+def test_crop_eval_and_multichain_fold(small_pdb, tmp_path):
+    """crop_len training + held-out eval + multi-chain fold round trip."""
+    from protstruc_tpu.train import TrainConfig, fold_sequence, train
+
+    ck = str(tmp_path / "ck_crop")
+    cfg = TrainConfig(steps=3, batch_size=1, node_dim=16, pair_dim=8,
+                      n_heads=2, n_blocks=1, n_ipa_iter=2, n_recycle=0,
+                      save_every=2, shuffle=False, crop_len=24)
+    m = train([small_pdb], ck, cfg, log_fn=lambda *a: None,
+              eval_paths=[small_pdb])
+    assert np.isfinite(m["final_loss"])
+    assert "eval_ca_lddt" in m and 0.0 <= m["eval_ca_lddt"] <= 1.0
+    assert np.isfinite(m["eval_ca_rmsd"])
+
+    coords, plddt, pae = fold_sequence(ck, "ACDEF:GHIKL",
+                                       return_confidence=True)
+    assert coords.shape == (10, 5, 3)
+    assert plddt.shape == (10,) and pae.shape == (10, 10)
+    assert np.isfinite(np.asarray(coords)).all()
+
+
+def test_fold_cli_multichain_pdb(small_pdb, tmp_path, capsys):
+    from protstruc_tpu.__main__ import main as cli_main
+
+    ck = str(tmp_path / "ck_mc")
+    rc = cli_main(["train", small_pdb, "--checkpoint-dir", ck,
+                   "--steps", "2", "--node-dim", "16", "--pair-dim", "8",
+                   "--blocks", "1", "--recycle", "0", "--save-every", "0"])
+    assert rc == 0
+    capsys.readouterr()
+    out = str(tmp_path / "complex.pdb")
+    rc = cli_main(["fold", "--checkpoint-dir", ck, "--seq", "ACD:EFG",
+                   "--out", out])
+    assert rc == 0
+    text = open(out).read()
+    # both chains present in the written PDB
+    assert " A   1 " in text.replace("  ", " ") or " A " in text
+    chain_col = {l[21] for l in text.splitlines() if l.startswith("ATOM")}
+    assert chain_col == {"A", "B"}
