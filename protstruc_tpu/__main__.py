@@ -187,6 +187,92 @@ def cmd_fold(args) -> int:
     return 0
 
 
+def serve_loop(infile, outfile, checkpoint_dir=None, batch_sizes=(1,),
+               buckets=(256, 512)) -> int:
+    """JSONL request/response loop (one JSON object per line).
+
+    Requests:
+      {"op": "ping"}
+      {"op": "featurize", "path": PDB, "out": NPZ}   # AOT fast path
+      {"op": "analyze", "path": PDB}                 # inline stats
+      {"op": "fold", "seq": SEQ, "out": PDB}         # needs checkpoint_dir
+    Responses: {"ok": true, ...} / {"ok": false, "error": ...} per line.
+
+    The featurizer is AOT-compiled for the given (batch, bucket) grid at
+    startup — requests after warmup never compile (utils/aot.py).
+    """
+    import numpy as np
+
+    import protstruc_tpu as ps
+    from protstruc_tpu.utils.aot import precompile_featurizer
+
+    feat = precompile_featurizer(batch_sizes=batch_sizes, buckets=buckets)
+    print(json.dumps({"ok": True, "ready": True,
+                      "shapes": sorted(map(list, feat.shapes))}),
+          file=outfile, flush=True)
+
+    for line in infile:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+            op = req.get("op")
+            if op == "ping":
+                resp = {"ok": True}
+            elif op == "featurize":
+                sb = ps.StructureBatch.from_pdb(req["path"])
+                g, d, m, frames = feat(sb)
+                out = {k: np.asarray(v) for k, v in g.items()}
+                out.update(dihedrals=np.asarray(d), dihedral_mask=np.asarray(m),
+                           frames=np.asarray(frames))
+                np.savez_compressed(req["out"], **out)
+                resp = {"ok": True, "out": req["out"],
+                        "n_residues": int(sb.get_total_lengths()[0])}
+            elif op == "analyze":
+                sb = ps.StructureBatch.from_pdb(req["path"])
+                ss = np.asarray(sb.secondary_structure())[0]
+                rm = np.asarray(sb.residue_mask)[0]
+                resp = {
+                    "ok": True,
+                    "n_residues": int(sb.get_total_lengths()[0]),
+                    "helix_frac": round(float((ss == 1)[rm].mean()), 3),
+                    "strand_frac": round(float((ss == 2)[rm].mean()), 3),
+                    "rg": round(float(sb.radius_of_gyration()[0]), 2),
+                }
+            elif op == "fold":
+                if checkpoint_dir is None:
+                    raise ValueError("fold requires --checkpoint-dir")
+                from protstruc_tpu.pdbio.writer import to_pdb
+                from protstruc_tpu.train import fold_sequence
+
+                coords, plddt, _pae = fold_sequence(
+                    checkpoint_dir, req["seq"], return_confidence=True)
+                chains = req["seq"].upper().split(":")
+                cids = [chr(ord("A") + i) for i in range(len(chains))]
+                to_pdb(req["out"], np.asarray(coords).transpose(1, 0, 2),
+                       chains, cids, bfactors=np.asarray(plddt))
+                resp = {"ok": True, "out": req["out"],
+                        "mean_plddt": round(float(np.asarray(plddt).mean()), 1)}
+            elif op == "shutdown":
+                print(json.dumps({"ok": True, "bye": True}),
+                      file=outfile, flush=True)
+                return 0
+            else:
+                raise ValueError(f"unknown op {op!r}")
+        except Exception as e:  # report per-request, keep serving
+            resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(resp), file=outfile, flush=True)
+    return 0
+
+
+def cmd_serve(args) -> int:
+    return serve_loop(sys.stdin, sys.stdout,
+                      checkpoint_dir=args.checkpoint_dir,
+                      batch_sizes=(1,),
+                      buckets=tuple(int(b) for b in args.buckets.split(",")))
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="protstruc_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -246,6 +332,14 @@ def main(argv=None) -> int:
     fd.add_argument("--relax", type=int, default=0, metavar="STEPS",
                     help="gradient-relax the output for STEPS steps")
     fd.set_defaults(fn=cmd_fold)
+
+    sv = sub.add_parser("serve",
+                        help="JSONL request loop over the AOT featurizer")
+    sv.add_argument("--checkpoint-dir", default=None,
+                    help="enables the fold op")
+    sv.add_argument("--buckets", default="256,512",
+                    help="AOT length buckets to precompile")
+    sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)

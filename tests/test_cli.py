@@ -48,3 +48,35 @@ def test_info(capsys):
     assert rc == 0
     report = json.loads(capsys.readouterr().out)
     assert "backend" in report and "native_parser" in report
+
+
+def test_serve_loop(tmp_path):
+    """JSONL service: ready banner, featurize/analyze/error/shutdown."""
+    import io
+    import json
+
+    import numpy as np
+
+    from protstruc_tpu.__main__ import serve_loop
+
+    out_npz = str(tmp_path / "f.npz")
+    reqs = "\n".join([
+        json.dumps({"op": "ping"}),
+        json.dumps({"op": "featurize", "path": "tests/data/15c8_HL.pdb",
+                    "out": out_npz}),
+        json.dumps({"op": "analyze", "path": "tests/data/1REX.pdb"}),
+        json.dumps({"op": "nope"}),
+        json.dumps({"op": "shutdown"}),
+    ])
+    outfile = io.StringIO()
+    rc = serve_loop(io.StringIO(reqs), outfile, buckets=(256,))
+    assert rc == 0
+    lines = [json.loads(l) for l in outfile.getvalue().strip().splitlines()]
+    assert lines[0]["ready"] is True
+    assert lines[1] == {"ok": True}
+    assert lines[2]["ok"] and lines[2]["n_residues"] == 229
+    dat = np.load(out_npz)
+    assert np.isfinite(np.nansum(dat["d_cb"]))
+    assert lines[3]["ok"] and 0.2 < lines[3]["helix_frac"] < 0.6
+    assert not lines[4]["ok"] and "unknown op" in lines[4]["error"]
+    assert lines[5]["bye"] is True
