@@ -37,7 +37,11 @@ def log(*a):
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 400
     n_samples = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    path = sys.argv[3] if len(sys.argv) > 3 else "tests/data/1REX.pdb"
+    # comma-separated inputs: more source structures -> more fragments ->
+    # a generator that learns local protein geometry rather than one fold
+    path = (sys.argv[3] if len(sys.argv) > 3
+            else "tests/data/1REX.pdb,tests/data/4EOT.pdb,"
+                 "tests/data/1ad0_DC.pdb,tests/data/6dc4.pdb")
     frag_len = 32
 
     import jax
@@ -63,25 +67,30 @@ def main():
     log(f"backend: {jax.default_backend()}")
 
     # ------------------------------------------------------------- fragments
-    sb = ps.StructureBatch.from_pdb(path)
-    xyz = np.asarray(sb.xyz[0, :, :4])
-    seq_full = np.asarray(sb.get_seq_idx()[0])
-    ok = np.isfinite(xyz[:, :3]).all((1, 2))
-    frags, seqs, i = [], [], 0
-    while i + frag_len <= len(ok):
-        if ok[i : i + frag_len].all():
-            frags.append(xyz[i : i + frag_len])
-            seqs.append(seq_full[i : i + frag_len])
-            i += frag_len // 2
-        else:
-            i += 1
+    frags, seqs = [], []
+    for p in path.split(","):
+        sb = ps.StructureBatch.from_pdb(p)
+        xyz = np.asarray(sb.xyz[0, :, :4])
+        seq_full = np.asarray(sb.get_seq_idx()[0])
+        ok = np.isfinite(xyz[:, :3]).all((1, 2))
+        i = 0
+        while i + frag_len <= len(ok):
+            if ok[i : i + frag_len].all():
+                frags.append(xyz[i : i + frag_len])
+                seqs.append(seq_full[i : i + frag_len])
+                i += frag_len // 2
+            else:
+                i += 1
     frags = jnp.asarray(np.stack(frags))       # (n, L, 4, 3)
     seqs = jnp.asarray(np.stack(seqs))         # (n, L)
     n_frag = frags.shape[0]
     log(f"[data] {n_frag} fragments of {frag_len} residues")
 
     # ------------------------------------------------- 1. backbone generator
-    cfg = FrameDiffConfig(node_dim=48, pair_dim=24, n_heads=4, n_iter=1, T=48)
+    big = "big" in sys.argv
+    w = 2 if big else 1
+    cfg = FrameDiffConfig(node_dim=48 * w, pair_dim=24 * w, n_heads=4,
+                          n_iter=2 if big else 1, T=48)
     ca = frags[:, :, 1]
     center = ca.mean(axis=1, keepdims=True)
     x0 = (ca - center) / cfg.trans_scale
@@ -112,8 +121,8 @@ def main():
                         axis=2))
     tf = featurize_backbone(native)
     tf["target_seq"] = seqs
-    if_cfg = InverseFoldConfig(node_dim=48, pair_dim=24, n_heads=4,
-                               n_blocks=1, n_decoder_blocks=1)
+    if_cfg = InverseFoldConfig(node_dim=48 * w, pair_dim=24 * w, n_heads=4,
+                               n_blocks=2 if big else 1, n_decoder_blocks=1)
     if_model = InverseFold(if_cfg)
     rank = random_decode_order(jax.random.PRNGKey(1), seqs.shape)
     if_params = if_model.init(
@@ -135,7 +144,8 @@ def main():
     log(f"[inversefold] {steps} steps, CE {float(il):.3f}")
 
     # ------------------------------------------- 3. sequence-only refolder
-    tcfg = TrFoldConfig(node_dim=64, pair_dim=32, n_heads=4, n_blocks=2)
+    tcfg = TrFoldConfig(node_dim=64 * w, pair_dim=32 * w, n_heads=4,
+                        n_blocks=3 if big else 2)
     fold = FoldModel(trunk_cfg=tcfg,
                      ipa_cfg=IPAConfig(n_heads=4, n_iter=4), n_recycle=1)
     seq_feats = featurize_from_sequence(seqs, n_dist_bins=tcfg.n_dist_bins)
