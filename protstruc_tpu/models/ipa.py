@@ -382,8 +382,8 @@ def aligned_error(pred_frames, pred_ca, true_frames, true_ca) -> jnp.ndarray:
     def local(frames, ca):
         r, t = frames
         r_inv = jnp.swapaxes(r, -2, -1)
-        rot = jnp.einsum("bixy,bjy->bijx", r_inv, ca)
-        shift = jnp.einsum("bixy,biy->bix", r_inv, t)
+        rot = jnp.einsum("bixy,bjy->bijx", r_inv, ca, precision="highest")
+        shift = jnp.einsum("bixy,biy->bix", r_inv, t, precision="highest")
         return rot - shift[:, :, None]
 
     d2 = jnp.sum((local(pred_frames, pred_ca) - local(true_frames, true_ca))

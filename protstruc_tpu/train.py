@@ -158,6 +158,8 @@ def train(
     from protstruc_tpu.models.ipa import fold_loss_fn
     from protstruc_tpu.pdbio.dataset import StructureDataset
 
+    if not paths:
+        raise ValueError("train() needs at least one input structure")
     model = _build_model(cfg)
     tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
                      optax.adamw(cfg.learning_rate))
