@@ -207,6 +207,7 @@ def serve_loop(infile, outfile, checkpoint_dir=None, batch_sizes=(1,),
     from protstruc_tpu.utils.aot import precompile_featurizer
 
     feat = precompile_featurizer(batch_sizes=batch_sizes, buckets=buckets)
+    fold_model = None  # (model, params, cfg) — loaded once, first fold op
     print(json.dumps({"ok": True, "ready": True,
                       "shapes": sorted(map(list, feat.shapes))}),
           file=outfile, flush=True)
@@ -244,10 +245,12 @@ def serve_loop(infile, outfile, checkpoint_dir=None, batch_sizes=(1,),
                 if checkpoint_dir is None:
                     raise ValueError("fold requires --checkpoint-dir")
                 from protstruc_tpu.pdbio.writer import to_pdb
-                from protstruc_tpu.train import fold_sequence
+                from protstruc_tpu.train import fold_with_model, load_fold_model
 
-                coords, plddt, _pae = fold_sequence(
-                    checkpoint_dir, req["seq"], return_confidence=True)
+                if fold_model is None:
+                    fold_model = load_fold_model(checkpoint_dir)
+                coords, plddt, _pae = fold_with_model(
+                    *fold_model, req["seq"], return_confidence=True)
                 chains = req["seq"].upper().split(":")
                 cids = [chr(ord("A") + i) for i in range(len(chains))]
                 to_pdb(req["out"], np.asarray(coords).transpose(1, 0, 2),

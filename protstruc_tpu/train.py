@@ -304,6 +304,21 @@ def fold_sequence(
     from protstruc_tpu.vocab import ressymb_to_resindex
 
     model, params, cfg = load_fold_model(checkpoint_dir)
+    return fold_with_model(model, params, cfg, sequence,
+                           n_recycle=n_recycle,
+                           return_confidence=return_confidence)
+
+
+def fold_with_model(model, params, cfg, sequence: str,
+                    n_recycle: Optional[int] = None,
+                    return_confidence: bool = False):
+    """Fold with an already-loaded (model, params, cfg) — the serving path
+    (one checkpoint load per session, not per request)."""
+    from protstruc_tpu import geometry as geom
+    from protstruc_tpu.models.ipa import pae_from_logits, plddt_from_logits
+    from protstruc_tpu.models.trfold import featurize_from_sequence
+    from protstruc_tpu.vocab import ressymb_to_resindex
+
     chains = sequence.upper().split(":")
     seq_idx = jnp.asarray(
         [[ressymb_to_resindex.get(c, 20) for ch in chains for c in ch]],

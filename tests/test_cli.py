@@ -80,3 +80,44 @@ def test_serve_loop(tmp_path):
     assert lines[3]["ok"] and 0.2 < lines[3]["helix_frac"] < 0.6
     assert not lines[4]["ok"] and "unknown op" in lines[4]["error"]
     assert lines[5]["bye"] is True
+
+
+def test_serve_fold_op(tmp_path):
+    """fold requests through the service use the cached checkpoint."""
+    import io
+    import json
+
+    import numpy as np
+
+    import protstruc_tpu as ps
+    from protstruc_tpu.__main__ import serve_loop
+    from protstruc_tpu.pdbio.writer import structure_batch_to_pdb
+    from protstruc_tpu.train import TrainConfig, train
+
+    # tiny checkpoint
+    sb = ps.StructureBatch.from_pdb("tests/data/1REX.pdb")
+    sel = np.zeros(sb.chain_idx.shape, bool)
+    sel[:, :40] = True
+    frag_pdb = str(tmp_path / "frag.pdb")
+    structure_batch_to_pdb(sb.residue_masked_select(sel), frag_pdb)
+    ck = str(tmp_path / "ck")
+    train([frag_pdb], ck,
+          TrainConfig(steps=2, batch_size=1, node_dim=16, pair_dim=8,
+                      n_heads=2, n_blocks=1, n_ipa_iter=2, n_recycle=0,
+                      save_every=0, shuffle=False),
+          log_fn=lambda *a: None)
+
+    out_pdb = str(tmp_path / "fold.pdb")
+    reqs = "\n".join([
+        json.dumps({"op": "fold", "seq": "ACDEF", "out": out_pdb}),
+        json.dumps({"op": "fold", "seq": "GHIKL", "out": out_pdb}),
+        json.dumps({"op": "shutdown"}),
+    ])
+    outfile = io.StringIO()
+    rc = serve_loop(io.StringIO(reqs), outfile, checkpoint_dir=ck,
+                    buckets=(256,))
+    assert rc == 0
+    lines = [json.loads(l) for l in outfile.getvalue().strip().splitlines()]
+    assert lines[1]["ok"] and lines[2]["ok"]
+    assert "mean_plddt" in lines[1]
+    assert open(out_pdb).read().count("ATOM") >= 5 * 4
