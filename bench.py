@@ -135,11 +135,13 @@ def parity_check(rtt):
 
     1. Mosaic vs interpret-mode kernel (identical formulation, only the
        lowering differs): max|Δ| ≤ 1e-5 per map — the Mosaic-drift detector.
-    2. Kernel vs the jnp-fused oracle: max|Δ| ≤ 2e-4 (the unit-test bound,
-       tests/test_pallas_pairwise.py:25) — on random coordinates the
-       arccos-form jnp path is itself only ~2e-5-accurate near degenerate
-       angles, so 1e-5 is not achievable *between formulations*; the ≤1e-5
-       BASELINE bar is vs the reference on bundled PDBs
+    2. Kernel vs the jnp-fused oracle, split by map class (the documented
+       waiver in BASELINE.md): **distance maps ≤ 1e-5** (identical
+       norm-of-difference formulation — no excuse for drift), **angle maps
+       ≤ 2e-4** (tests/test_pallas_pairwise.py:25) — on random coordinates
+       the arccos-form jnp path is itself only ~2e-5-accurate near
+       degenerate angles, so 1e-5 is not achievable *between formulations*;
+       the ≤1e-5 BASELINE bar is vs the reference on bundled PDBs
        (tests/test_parity_reference.py, CPU).
 
     NaN sets must match exactly and masks must be bitwise-equal in both
@@ -178,18 +180,24 @@ def parity_check(rtt):
             vs_interp = _diffs(interp, ker)
         return vs_jnp, vs_interp
 
+    dist_maps = ("d_ca", "d_cb", "d_no", "d_ca_mask", "d_cb_mask", "d_no_mask")
     vs_jnp, vs_interp = tiers(xyz, atom_mask)
-    for name, res, tol in [
-        ("mosaic-vs-interpret", vs_interp, 1e-5),
-        ("kernel-vs-jnp", vs_jnp, 2e-4),
+    for name, res, tol_fn in [
+        ("mosaic-vs-interpret", vs_interp, lambda k: 1e-5),
+        # BASELINE.md waiver: angle maps 2e-4 (formulation difference),
+        # distance maps pinned to the global 1e-5 bar
+        ("kernel-vs-jnp", vs_jnp,
+         lambda k: 1e-5 if k in dist_maps else 2e-4),
     ]:
         if res is None:
             log(f"[parity] {name}: skipped (backend={jax.default_backend()})")
             continue
         res = {k: (float(v[0]), float(v[1])) for k, v in res.items()}
         worst = max(v[0] for v in res.values())
-        bad = {k: v for k, v in res.items() if v[0] > tol or v[1] != 0}
-        log(f"[parity] {name}: max|d| = {worst:.2e} (tol {tol:.0e}) "
+        bad = {k: v for k, v in res.items()
+               if v[0] > tol_fn(k) or v[1] != 0}
+        log(f"[parity] {name}: max|d| = {worst:.2e} "
+            f"(tol dist 1e-05 / angle {tol_fn('omega'):.0e}) "
             + " ".join(f"{k}={v[0]:.1e}" for k, v in res.items()))
         if bad:
             raise SystemExit(f"PARITY FAILURE ({name}): {bad}")
@@ -304,6 +312,164 @@ def run_ingest():
         log(f"[ingest] {name}: {len(files)} PDBs ({total_mb:.1f} MB) in "
             f"{dt*1e3:.0f} ms -> {len(files)/dt:.0f} structures/s, "
             f"{total_mb/dt:.0f} MB/s")
+
+
+def run_mfu(rtt):
+    """[mfu] pinned train-step efficiency line (VERDICT r3 items 2-3).
+
+    One bf16 TrFold train step (value_and_grad + adamw update) at a pinned
+    config; FLOPs from XLA's own cost analysis of the compiled step;
+    reported as achieved TFLOP/s and % of the v5e bf16 MXU peak
+    (197 TFLOP/s).  The full MFU-vs-width curve lives in
+    docs/guides/performance.md; this line tracks one point of it in the
+    driver artifact round-over-round.
+    """
+    import numpy as np
+    import optax
+
+    import protstruc_tpu as ps
+    from protstruc_tpu.models.trfold import (
+        TrFold, TrFoldConfig, featurize_for_model, loss_fn, make_train_state)
+
+    PEAK_BF16 = 197e12
+    Bm, Lm = 4, 512
+    cfg = TrFoldConfig(node_dim=256, pair_dim=128, n_heads=8, n_blocks=4,
+                       dtype=jnp.bfloat16)
+    model = TrFold(cfg)
+
+    rng = np.random.RandomState(0)
+    sb = ps.StructureBatch.from_xyz(
+        rng.randn(Bm, Lm, 15, 3).astype(np.float32) * 5.0)
+    feats = featurize_for_model(sb)
+    params, opt_state, tx = make_train_state(model, feats,
+                                             jax.random.PRNGKey(0))
+
+    def step(params, opt_state, feats):
+        loss, grads = jax.value_and_grad(loss_fn)(params, model, feats)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    jstep = jax.jit(step, donate_argnums=(0, 1))
+    compiled = jstep.lower(params, opt_state, feats).compile()
+    try:
+        flops = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops = float("nan")
+
+    params, opt_state, loss = jstep(params, opt_state, feats)
+    float(loss)  # compile+first step done
+    for _ in range(2):
+        params, opt_state, loss = jstep(params, opt_state, feats)
+    float(loss)
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = jstep(params, opt_state, feats)
+    float(loss)
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / iters
+    log(f"[mfu] TrFold bf16 D={cfg.node_dim} P={cfg.pair_dim} "
+        f"blocks={cfg.n_blocks} B={Bm} L={Lm}: {dt*1e3:.1f} ms/step, "
+        f"{flops/1e9:.1f} GFLOP -> {flops/dt/1e12:.2f} TFLOP/s = "
+        f"{100*flops/dt/PEAK_BF16:.1f}% of bf16 peak")
+
+
+def run_long_l(rtt):
+    """[config6] long-context wall (VERDICT r3 item 7): B=1, L=8192.
+
+    The six-map output at L=8192 is 1.6 GB and the full-atom pair tensor
+    (B,L,L,A,A) would be 60 TB — the kernel's map-subset mode emits only
+    d_cb (268 MB).  Also times the sequence-parallel shard_map variant
+    (rectangular kernel over the local row shard + all-gathered columns)
+    on the 1-device mesh.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from protstruc_tpu.ops.pallas_pairwise import pairwise_maps_pallas
+    from protstruc_tpu.parallel.mesh import make_mesh
+
+    interp = jax.default_backend() != "tpu"
+    L6 = 8192
+    xyz = jax.random.normal(jax.random.PRNGKey(4), (1, L6, 15, 3),
+                            jnp.float32) * 10.0
+
+    @jax.jit
+    def plain(xyz):
+        d = pairwise_maps_pallas(xyz, interpret=interp, maps=("d_cb",))["d_cb"]
+        return d, d[0, 0, 1]
+
+    dt = _time_call(plain, xyz, rtt=rtt)
+    log(f"[config6] B=1 L={L6} d_cb-only pallas: {dt*1e3:.1f} ms "
+        f"-> {L6 * L6 / dt / 1e9:.2f} Gpair/s")
+
+    mesh = make_mesh(1, axis_shapes=(1, 1, 1))
+
+    def local(xyz_l):
+        xyz_full = jax.lax.all_gather(xyz_l, "sp", axis=1, tiled=True)
+        return pairwise_maps_pallas(
+            xyz_l, interpret=interp, xyz_j=xyz_full, maps=("d_cb",))["d_cb"]
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=P(("dp", "tp"), "sp", None, None),
+        out_specs=P(("dp", "tp"), "sp", None), check_rep=False)
+
+    @jax.jit
+    def sp_fn(xyz):
+        d = sharded(xyz)
+        return d, d[0, 0, 1]
+
+    dt = _time_call(sp_fn, xyz, rtt=rtt)
+    log(f"[config6] B=1 L={L6} d_cb-only sp-shard_map: {dt*1e3:.1f} ms")
+
+
+def run_ingest_sustained():
+    """[ingest-sustained] sustained host-ingest throughput (VERDICT r3
+    item 8): the 14-file corpus looped 50x (politely cache-warm — that is
+    the production steady state too) for python vs native scanners, plus
+    the streaming dataset's bucket-dispatcher compile economy (unique
+    jit shapes vs batches served).
+    """
+    import glob
+    import os
+
+    from protstruc_tpu.pdbio import native
+    from protstruc_tpu.pdbio.parser import parse_pdb
+
+    files = sorted(glob.glob("tests/data/*.pdb"))
+    reps = 50
+    total_mb = sum(os.path.getsize(f) for f in files) / 1e6
+    variants = [("python", False)]
+    if native.native_available():
+        variants.append(("native", True))
+    for name, use_native in variants:
+        for f in files:
+            parse_pdb(f, use_native=use_native)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            for f in files:
+                parse_pdb(f, use_native=use_native)
+        dt = time.perf_counter() - t0
+        n = reps * len(files)
+        log(f"[ingest-sustained] {name}: {n} parses ({total_mb * reps:.0f} MB)"
+            f" in {dt:.1f} s -> {n / dt:.0f} structures/s, "
+            f"{total_mb * reps / dt:.0f} MB/s")
+
+    # bucket-dispatcher economy: how many distinct (batch, bucket) shapes
+    # the jitted consumer would compile for vs batches served
+    from protstruc_tpu.pdbio.dataset import StructureDataset
+
+    ds = StructureDataset(files * 10, batch_size=4, shuffle=False)
+    shapes, batches = set(), 0
+    t0 = time.perf_counter()
+    for batch in ds:
+        shapes.add((batch.batch_size, batch.n_residues))
+        batches += 1
+    dt = time.perf_counter() - t0
+    log(f"[ingest-sustained] dataset: {batches} batches in {dt:.1f} s "
+        f"({batches * 4 / dt:.0f} structures/s), {len(shapes)} unique "
+        f"jit shapes -> dispatcher hit rate "
+        f"{100 * (1 - len(shapes) / max(batches, 1)):.0f}%")
 
 
 def measure_rtt():
@@ -674,15 +840,21 @@ def main():
     parity_check(rtt)
     model_parity_check(rtt)
 
-    if "--smoke" in _sys.argv:
+    # the smoke lane runs by DEFAULT (VERDICT r3 item 2: the driver artifact
+    # must certify the functional surface on the live chip every round);
+    # --no-smoke / --headline-only skip it for quick local iterations
+    if "--no-smoke" not in _sys.argv and "--headline-only" not in _sys.argv:
         run_smoke(rtt)
 
-    # the five BASELINE.md configs + ingest + diagnostics run on every bench
-    # so the driver-captured artifact certifies them round-over-round
-    # (VERDICT r2 items 3 and 7); --headline-only skips them for quick runs
+    # the six BASELINE.md configs + ingest + mfu + diagnostics run on every
+    # bench so the driver-captured artifact certifies them round-over-round
+    # (VERDICT r2 items 3+7, r3 items 2/7/8); --headline-only skips them
     if "--headline-only" not in _sys.argv:
         stages = [(run_ingest, "ingest"),
+                  (run_ingest_sustained, "ingest-sustained"),
                   (lambda: run_configs(rtt), "configs"),
+                  (lambda: run_long_l(rtt), "config6"),
+                  (lambda: run_mfu(rtt), "mfu"),
                   (lambda: run_sharded_diag(rtt), "sp-shard"),
                   (lambda: run_model_fused_diag(rtt), "model-fused")]
         for fn, name in stages:

@@ -42,6 +42,18 @@ def cmd_featurize(args) -> int:
     return 0
 
 
+def _frac(hits, valid) -> float:
+    """Mean of ``hits`` over ``valid`` positions; 0.0 when none are valid
+    (a mean over an empty slice is NaN, which json.dumps emits as invalid
+    JSON — e.g. single-residue chains have no defined phi AND psi)."""
+    import numpy as np
+
+    n = int(np.sum(valid))
+    if n == 0:
+        return 0.0
+    return float(np.sum(hits & valid) / n)
+
+
 def cmd_analyze(args) -> int:
     import numpy as np
 
@@ -57,19 +69,17 @@ def cmd_analyze(args) -> int:
                                    for x in np.asarray(sb.contact_order())],
         "clash_energy": [round(float(x), 3)
                          for x in np.asarray(sb.clash_energy())],
-        "helix_frac": [round(float((ss[i] == 1)[rmask[i]].mean()), 3)
+        "helix_frac": [round(_frac(ss[i] == 1, rmask[i]), 3)
                        for i in range(sb.batch_size)],
-        "strand_frac": [round(float((ss[i] == 2)[rmask[i]].mean()), 3)
+        "strand_frac": [round(_frac(ss[i] == 2, rmask[i]), 3)
                         for i in range(sb.batch_size)],
     }
     rama, rv = sb.ramachandran_classes()
     rama, rv = np.asarray(rama), np.asarray(rv)
     report["rama_favored_frac"] = [
-        round(float((rama[i] == 0)[rv[i]].mean()), 3)
-        for i in range(sb.batch_size)]
+        round(_frac(rama[i] == 0, rv[i]), 3) for i in range(sb.batch_size)]
     report["rama_outlier_frac"] = [
-        round(float((rama[i] == 2)[rv[i]].mean()), 3)
-        for i in range(sb.batch_size)]
+        round(_frac(rama[i] == 2, rv[i]), 3) for i in range(sb.batch_size)]
     if args.ss8:
         from protstruc_tpu.ops.secondary import SS8_LETTERS
 
@@ -237,8 +247,8 @@ def serve_loop(infile, outfile, checkpoint_dir=None, batch_sizes=(1,),
                 resp = {
                     "ok": True,
                     "n_residues": int(sb.get_total_lengths()[0]),
-                    "helix_frac": round(float((ss == 1)[rm].mean()), 3),
-                    "strand_frac": round(float((ss == 2)[rm].mean()), 3),
+                    "helix_frac": round(_frac(ss == 1, rm), 3),
+                    "strand_frac": round(_frac(ss == 2, rm), 3),
                     "rg": round(float(sb.radius_of_gyration()[0]), 2),
                 }
             elif op == "fold":

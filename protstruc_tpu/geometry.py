@@ -190,20 +190,34 @@ def ideal_backbone_coordinates(size, include_cb: bool = False) -> jnp.ndarray:
     return jnp.broadcast_to(xyz, tuple(size) + xyz.shape)
 
 
-def ideal_carbonyl_oxygen(n, ca, c) -> jnp.ndarray:
+def ideal_carbonyl_oxygen(n, ca, c, chain_idx=None) -> jnp.ndarray:
     """Place backbone carbonyl O ideally from N/CA/C coordinates.
 
     O_i is placed from (N_{i+1}, CA_i, C_i) with ideal bond length ``CO``,
     planar angle ``ACO`` and the peptide-bond planarity dihedral ``NACO``
     (constants/ideal.py; reference geometry.py:377-385 uses the same recipe
     inside ``initialize_backbone_with_mds``).  The residue axis is the
-    second-to-last: inputs ``(..., L, 3)`` -> output ``(..., L, 3)``.  For
-    the chain-terminal residue the rolled N wraps to residue 0, giving a
-    geometrically valid (bond lengths/angles ideal) though
-    psi-arbitrary placement — acceptable for a terminal carbonyl.
+    second-to-last: inputs ``(..., L, 3)`` -> output ``(..., L, 3)``.
+
+    Chain-final residues have no N_{i+1}: the final residue of the array,
+    and — when ``chain_idx`` ``(..., L)`` is given — the last residue of
+    every chain, take an *ideal-psi* placement instead: dihedral
+    dih(N_i, CA_i, C_i, O_i) = psi_ideal − π with psi_ideal = 135°
+    (extended backbone), keeping bond length/angle ideal and the
+    orientation deterministic rather than borrowing the next chain's N.
     """
     n_next = jnp.roll(n, shift=-1, axis=-2)
-    return place_fourth_atom(n_next, ca, c, ideal.CO, ideal.ACO, ideal.NACO)
+    L = n.shape[-2]
+    is_last = jnp.arange(L) == L - 1
+    if chain_idx is not None:
+        chain_idx = jnp.asarray(chain_idx)
+        next_chain = jnp.roll(chain_idx, shift=-1, axis=-1)
+        is_last = is_last | (chain_idx != next_chain)
+    o_mid = place_fourth_atom(n_next, ca, c, ideal.CO, ideal.ACO, ideal.NACO)
+    # psi_ideal = 135 deg; O is anti to N_{i+1}, i.e. dih(N,CA,C,O) = psi - pi
+    o_term = place_fourth_atom(n, ca, c, ideal.CO, ideal.ACO,
+                               135.0 / 180.0 * 3.141592653589793 - 3.141592653589793)
+    return jnp.where(is_last[..., None], o_term, o_mid)
 
 
 def fix_chirality(coords) -> jnp.ndarray:

@@ -77,6 +77,16 @@ def _atan2_planes(y, x):
     ax = jnp.abs(x)
     ay = jnp.abs(y)
     maxv = jnp.maximum(ax, ay)
+    # rsqrt range reduction squares maxv, which flushes to 0 for
+    # 0 < maxv < ~3.9e-23 and would turn the exact ratio into inf/NaN.
+    # Rescale tiny pairs by an exact power of two first: 2^87 lifts even
+    # the smallest f32 denormal (1.4e-45 -> 2.2e-19) above the underflow
+    # line while keeping (1e-7 * 2^87)^2 ~ 2.4e38 below overflow.  The
+    # ratio min/max is scale-invariant, so the angle is unchanged.
+    s = jnp.where(maxv < 1e-7, 2.0**87, 1.0)
+    ax = ax * s
+    ay = ay * s
+    maxv = jnp.maximum(ax, ay)
     safe = jnp.where(maxv == 0.0, 1.0, maxv)
     t = jnp.minimum(ax, ay) * jax.lax.rsqrt(safe * safe)
     zz = t * t

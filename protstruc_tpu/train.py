@@ -176,7 +176,28 @@ def train(
                           shuffle=cfg.shuffle, seed=cfg.seed)
 
     os.makedirs(checkpoint_dir, exist_ok=True)
-    with open(os.path.join(checkpoint_dir, "config.json"), "w") as fh:
+    cfg_path = os.path.join(checkpoint_dir, "config.json")
+    # resume safety: the checkpoint's params were built for the config that
+    # trained them — silently overwriting config.json with different model
+    # shapes would surface only as opaque orbax restore errors (and `fold`
+    # would later trust the wrong config).  Error on any mismatch of the
+    # fields that shape params or the input pipeline.
+    if latest_step(checkpoint_dir) is not None and os.path.exists(cfg_path):
+        with open(cfg_path) as fh:
+            existing = TrainConfig.from_json(fh.read())
+        shape_fields = ("node_dim", "pair_dim", "n_heads", "n_blocks",
+                        "n_ipa_iter", "n_recycle", "sequence_only", "bf16")
+        diff = {f: (getattr(existing, f), getattr(cfg, f))
+                for f in shape_fields
+                if getattr(existing, f) != getattr(cfg, f)}
+        if diff:
+            raise ValueError(
+                f"checkpoint_dir {checkpoint_dir!r} holds a checkpoint "
+                f"trained with a different model config: "
+                + ", ".join(f"{k}={a!r} (checkpoint) vs {b!r} (requested)"
+                            for k, (a, b) in diff.items())
+                + ". Use a fresh checkpoint_dir or match the saved config.")
+    with open(cfg_path, "w") as fh:
         fh.write(cfg.to_json())
 
     @jax.jit
@@ -271,6 +292,17 @@ def load_fold_model(checkpoint_dir: str):
 
     with open(os.path.join(checkpoint_dir, "config.json")) as fh:
         cfg = TrainConfig.from_json(fh.read())
+    if not cfg.sequence_only:
+        import warnings
+
+        warnings.warn(
+            f"checkpoint {checkpoint_dir!r} was trained structure-conditioned "
+            "(sequence_only=False): its inputs were ground-truth distogram/"
+            "angle features, so folding from a bare sequence is out-of-"
+            "distribution and the coordinates (and pLDDT) are unreliable. "
+            "Train with sequence_only=True (CLI: --sequence-only) for a "
+            "checkpoint meant for sequence folding.",
+            stacklevel=2)
     model = _build_model(cfg)
 
     dummy = featurize_from_sequence(
@@ -330,7 +362,8 @@ def fold_with_model(model, params, cfg, sequence: str,
     nr = cfg.n_recycle if n_recycle is None else n_recycle
     out = model.apply({"params": params}, feats, n_recycle=nr)
     bb = out["xyz"][0]  # (L, 4, 3) N/CA/C/CB
-    o = geom.ideal_carbonyl_oxygen(bb[:, 0], bb[:, 1], bb[:, 2])
+    o = geom.ideal_carbonyl_oxygen(bb[:, 0], bb[:, 1], bb[:, 2],
+                                   chain_idx=chain_idx[0])
     coords = jnp.stack([bb[:, 0], bb[:, 1], bb[:, 2], o, bb[:, 3]], axis=1)
     if not return_confidence:
         return coords

@@ -28,6 +28,28 @@ def test_analyze_json(capsys):
     assert 0.1 < report["helix_frac"][0] < 0.6
 
 
+def test_analyze_two_residue_chain_valid_json(tmp_path, capsys):
+    """No residue has both phi AND psi defined in a 2-residue chain; the
+    rama fractions must emit 0.0, not NaN (invalid JSON) — ADVICE r3."""
+    import jax.numpy as jnp
+
+    import protstruc_tpu as ps
+    from protstruc_tpu.pdbio.writer import structure_batch_to_pdb
+
+    sb = ps.StructureBatch.from_pdb("tests/data/1REX.pdb")
+    sel = np.zeros(sb.chain_idx.shape, bool)
+    sel[:, :2] = True
+    frag = sb.residue_masked_select(jnp.asarray(sel))
+    path = tmp_path / "tiny.pdb"
+    structure_batch_to_pdb(frag, str(path))
+
+    rc = main(["analyze", str(path)])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)  # would raise on NaN
+    assert report["rama_favored_frac"] == [0.0]
+    assert report["rama_outlier_frac"] == [0.0]
+
+
 def test_convert_pdb_to_cif_and_back(tmp_path, capsys):
     cif = tmp_path / "x.cif"
     rc = main(["convert", "tests/data/15c8_HL.pdb", str(cif)])

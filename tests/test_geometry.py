@@ -213,7 +213,42 @@ def test_ideal_carbonyl_oxygen_geometry():
     np.testing.assert_allclose(ang, ideal.ACO, atol=1e-5)
 
     # dihedral N_{i+1}-CA_i-C_i-O_i is the planarity constant (interior
-    # residues; the terminal residue wraps and is psi-arbitrary by doc)
+    # residues; the final residue takes the documented ideal-psi placement)
     n_next = jnp.roll(n, -1, axis=-2)
     dih = np.asarray(geom.dihedral(n_next, ca, c, o))[:, :-1]
     np.testing.assert_allclose(np.abs(dih), abs(ideal.NACO), atol=1e-2)
+
+    # terminal residue: dih(N_i, CA_i, C_i, O_i) = psi_ideal - pi (135 - 180)
+    term = np.asarray(geom.dihedral(n, ca, c, o))[:, -1]
+    np.testing.assert_allclose(term, np.deg2rad(135.0) - np.pi, atol=1e-5)
+
+
+def test_ideal_carbonyl_oxygen_chain_breaks():
+    """With chain_idx, the last residue of EACH chain ignores the next
+    chain's N (ADVICE r3: the rolled N used to leak across chain breaks),
+    so moving chain B must not move chain A's final carbonyl."""
+    from protstruc_tpu.constants import ideal
+
+    rng = np.random.default_rng(1)
+    L = 8
+    t = np.linspace(0, 2.5, L)
+    ca = np.stack([np.cos(t) * 5, np.sin(t) * 5, t * 1.5], -1)
+    n = ca + rng.normal(0, 0.1, ca.shape) + np.array([1.45, 0, 0])
+    c = ca + rng.normal(0, 0.1, ca.shape) + np.array([0, 1.52, 0])
+    chain_idx = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+
+    o = np.asarray(geom.ideal_carbonyl_oxygen(n, ca, c, chain_idx=chain_idx))
+
+    # translate chain B far away: chain A's O placements are unchanged
+    shift = (chain_idx == 1)[:, None] * 100.0
+    o2 = np.asarray(geom.ideal_carbonyl_oxygen(
+        n + shift, ca + shift, c + shift, chain_idx=chain_idx))
+    np.testing.assert_allclose(o2[:4], o[:4], atol=1e-5)
+
+    # both chain-final residues use the ideal-psi placement
+    dih = np.asarray(geom.dihedral(n, ca, c, o))
+    np.testing.assert_allclose(dih[[3, 7]], np.deg2rad(135.0) - np.pi,
+                               atol=1e-5)
+    # bond geometry stays ideal everywhere
+    np.testing.assert_allclose(np.linalg.norm(o - c, axis=-1), ideal.CO,
+                               atol=1e-5)

@@ -46,6 +46,34 @@ def test_pallas_tile_not_dividing_length():
     _compare(sb, tile=32)
 
 
+def test_atan2_planes_tiny_magnitudes():
+    """Sub-1e-20 magnitudes must not underflow to inf/NaN in the rsqrt
+    range reduction (ADVICE r3): the exact ratio is scale-invariant, so
+    the angle must match jnp.arctan2 even for denormal-range inputs."""
+    from protstruc_tpu.ops.pallas_pairwise import _atan2_planes
+
+    # all values >= the f32 min normal 1.18e-38 (denormals legitimately
+    # flush to zero on TPU and under XLA:CPU multiplies)
+    y = jnp.asarray([0.0, 1e-30, 1e-30, -1e-37, 1e-37, 0.0, 3e-23, 1e-30])
+    x = jnp.asarray([1e-30, 0.0, 1e-30, 1e-37, 0.0, 0.0, -3e-23, 1.0])
+    got = np.asarray(_atan2_planes(y, x))
+    want = np.arctan2(np.asarray(y), np.asarray(x))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_atan2_planes_normal_range_unchanged():
+    """The tiny-magnitude rescale is bit-neutral for ordinary inputs."""
+    from protstruc_tpu.ops.pallas_pairwise import _atan2_planes
+
+    rng = np.random.RandomState(3)
+    y = jnp.asarray(rng.randn(256).astype(np.float32) * 10)
+    x = jnp.asarray(rng.randn(256).astype(np.float32) * 10)
+    np.testing.assert_allclose(
+        np.asarray(_atan2_planes(y, x)),
+        np.arctan2(np.asarray(y), np.asarray(x)), atol=2e-6)
+
+
 def test_inter_residue_geometry_use_pallas_flag():
     rng = np.random.RandomState(2)
     xyz = rng.randn(1, 20, 15, 3).astype(np.float32)

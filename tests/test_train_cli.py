@@ -50,6 +50,49 @@ def test_train_checkpoint_resume_fold(small_pdb, tmp_path):
     np.testing.assert_allclose(d_co, 1.231, atol=1e-4)
 
 
+def test_resume_with_mismatched_config_errors(small_pdb, tmp_path):
+    """Resuming into a checkpoint dir with different model shapes must fail
+    loudly instead of silently overwriting config.json (ADVICE r3)."""
+    from protstruc_tpu.train import TrainConfig, train
+
+    ck = str(tmp_path / "ck_mismatch")
+    cfg = TrainConfig(steps=2, batch_size=1, node_dim=16, pair_dim=8,
+                      n_heads=2, n_blocks=1, n_ipa_iter=2, n_recycle=0,
+                      save_every=0, shuffle=False)
+    train([small_pdb], ck, cfg, log_fn=lambda *a: None)
+
+    import dataclasses
+
+    bigger = dataclasses.replace(cfg, node_dim=32)
+    with pytest.raises(ValueError, match="node_dim"):
+        train([small_pdb], ck, bigger, log_fn=lambda *a: None)
+    # the on-disk config still describes the checkpoint's params
+    cfg_on_disk = json.load(open(os.path.join(ck, "config.json")))
+    assert cfg_on_disk["node_dim"] == 16
+    # changing only non-shape fields (steps, lr) resumes fine
+    more_steps = dataclasses.replace(cfg, steps=1, learning_rate=1e-4)
+    m = train([small_pdb], ck, more_steps, log_fn=lambda *a: None)
+    assert m["steps"] == 3
+
+
+def test_fold_from_structure_conditioned_checkpoint_warns(small_pdb, tmp_path):
+    """fold from a sequence_only=False checkpoint is out-of-distribution;
+    load_fold_model must say so (ADVICE r3, medium)."""
+    import warnings
+
+    from protstruc_tpu.train import TrainConfig, load_fold_model, train
+
+    ck = str(tmp_path / "ck_warn")
+    cfg = TrainConfig(steps=2, batch_size=1, node_dim=16, pair_dim=8,
+                      n_heads=2, n_blocks=1, n_ipa_iter=2, n_recycle=0,
+                      save_every=0, shuffle=False)
+    train([small_pdb], ck, cfg, log_fn=lambda *a: None)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        load_fold_model(ck)
+    assert any("structure-conditioned" in str(w.message) for w in rec)
+
+
 def test_train_cli_and_fold_cli(small_pdb, tmp_path, capsys):
     from protstruc_tpu.__main__ import main as cli_main
 
