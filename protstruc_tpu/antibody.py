@@ -270,12 +270,25 @@ class AntibodyStructureBatch(StructureBatch):
         antigen_chain_ids: Union[str, List, None] = None,
         numbering_scheme: str = "chothia",
         keep_fv_only: bool = False,
+        source_scheme: str = "auto",
     ) -> "AntibodyStructureBatch":
         """Parse antibody PDBs keeping only heavy/light/antigen chains.
 
         Parity: protstruc.py:1053-1173 + pdb.py:192-259 (chain filtering
         happens *before* the residue walk; optional Fv trimming by scheme
         ranges; NaN/None-tolerant chain-id handling).
+
+        ``source_scheme``: the scheme the *file* is numbered in.  The
+        default ``"auto"`` detects it per chain from the conserved
+        domain-cysteine anchors and, when it differs from
+        ``numbering_scheme``, converts the author numbering rule-based
+        (protstruc_tpu/numbering.py) before building masks — so a
+        Chothia-numbered SAbDab file ingested with
+        ``numbering_scheme="imgt"`` gets correct IMGT CDR masks (the
+        reference silently applied Chothia ranges regardless,
+        protstruc.py:1084-1087).  Pass ``source_scheme=None`` to assert
+        the file is already in ``numbering_scheme`` (round-2 behavior:
+        ranges applied as-is, plausibility warning on mismatch).
         """
         if numbering_scheme is None:
             numbering_scheme = "chothia"  # the reference accepts None too
@@ -283,6 +296,11 @@ class AntibodyStructureBatch(StructureBatch):
             raise ValueError(
                 'Antibody numbering scheme must be one of "kabat", "chothia", "imgt".'
             )
+        if source_scheme not in (None, "auto") and (
+                source_scheme not in NUMBERING_SCHEMES):
+            raise ValueError(
+                'source_scheme must be None, "auto", or one of "kabat", '
+                '"chothia", "imgt".')
         scheme = NUMBERING_SCHEMES[numbering_scheme]
 
         from protstruc_tpu.pdbio.parser import parse_pdb
@@ -305,13 +323,27 @@ class AntibodyStructureBatch(StructureBatch):
                 f"antigen={len(aidss)}"
             )
 
+        from protstruc_tpu import numbering as _nb
+
+        def _int_scheme(s):
+            # chothia and kabat share integer numbering; only the CDR
+            # definition tables (and insertion letters) differ
+            return "imgt" if s == "imgt" else "chothia"
+
+        # conversion can only happen when a source scheme may differ from
+        # the requested one; then Fv trimming must wait until AFTER the
+        # numbers are converted (the file's numbers are source-scheme)
+        convertible = source_scheme is not None and (
+            source_scheme == "auto"
+            or _int_scheme(source_scheme) != _int_scheme(numbering_scheme))
+
         parsed, masks_per = [], []
         for f, hid, lid, aids in zip(paths, hids, lids, aidss):
             aids = [] if aids is None else _always_list(aids)
             chains = [c for c in [hid, lid] if c is not None] + list(aids)
 
             ranges = None
-            if keep_fv_only:
+            if keep_fv_only and not convertible:
                 ranges = {}
                 if hid is not None:
                     ranges[hid] = scheme["fv_heavy"]
@@ -319,12 +351,53 @@ class AntibodyStructureBatch(StructureBatch):
                     ranges[lid] = scheme["fv_light"]
 
             p = parse_pdb(f, chains=chains or None, residue_range_by_chain=ranges)
-            parsed.append(p)
 
             cid = p.chain_id_per_res
             num = p.residue_number
             heavy = cid == hid if hid is not None else np.zeros(len(cid), bool)
             light = cid == lid if lid is not None else np.zeros(len(cid), bool)
+
+            if convertible:
+                num = num.astype(np.int64).copy()
+                target = _int_scheme(numbering_scheme)
+                for chain_mask, ctype in ((heavy, "heavy"), (light, "light")):
+                    if not chain_mask.any():
+                        continue
+                    if source_scheme == "auto":
+                        src, hits = _nb.detect_numbering_scheme(
+                            num[chain_mask], p.oneletter[chain_mask], ctype)
+                        if hits == 0:
+                            src = target  # undetectable: assume as-requested
+                    else:
+                        src = _int_scheme(source_scheme)
+                    if src != target:
+                        num[chain_mask] = _nb.convert_chain_numbering(
+                            num[chain_mask], ctype, src, target)
+                if keep_fv_only:
+                    h_lo, h_hi = scheme["fv_heavy"]
+                    l_lo, l_hi = scheme["fv_light"]
+                    keep = ~(heavy | light)
+                    keep |= heavy & (num >= h_lo) & (num <= h_hi)
+                    keep |= light & (num >= l_lo) & (num <= l_hi)
+                    import dataclasses as _dc
+
+                    p = _dc.replace(
+                        p,
+                        atom_xyz=p.atom_xyz[keep],
+                        atom_mask=p.atom_mask[keep],
+                        chain_idx=p.chain_idx[keep],
+                        residue_idx=np.arange(int(keep.sum()), dtype=np.int32),
+                        chain_id_per_res=p.chain_id_per_res[keep],
+                        residue_number=p.residue_number[keep],
+                        insertion=p.insertion[keep],
+                        oneletter=p.oneletter[keep],
+                    )
+                    num = num[keep]
+                    cid = p.chain_id_per_res
+                    heavy = heavy[keep]
+                    light = light[keep]
+
+            parsed.append(p)
             antigen = np.isin(cid, aids) if aids else np.zeros(len(cid), bool)
 
             h_lo, h_hi = scheme["fv_heavy"]

@@ -167,11 +167,30 @@ def test_pytree_with_masks():
 
 
 class TestWrongSchemeGuard:
-    """Feeding a Chothia-numbered file under a mismatched scheme must warn
-    with a diagnostic instead of silently producing wrong masks (the
-    reference's silent-Chothia bug, protstruc.py:1084-1087, fixed fully)."""
+    """Feeding a Chothia-numbered file under a mismatched scheme: since r4
+    the default (source_scheme="auto") detects the file's scheme from its
+    conserved-Cys anchors and CONVERTS the numbering (protstruc_tpu/
+    numbering.py) — correct masks, no warning.  source_scheme=None keeps
+    the r3 behavior: ranges applied as-is plus a loud diagnostic (the
+    reference's silent-Chothia bug, protstruc.py:1084-1087)."""
 
-    def test_imgt_on_chothia_numbered_file_warns(self):
+    def test_imgt_on_chothia_numbered_file_converts_silently(self):
+        import warnings
+
+        import protstruc_tpu as ps
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ab = ps.AntibodyStructureBatch.from_pdb(
+                "tests/data/6dc4.pdb", heavy_chain_id="H", light_chain_id="L",
+                numbering_scheme="imgt",
+            )
+        msgs = [str(x.message) for x in w if issubclass(x.category, UserWarning)]
+        assert not msgs, msgs
+        for name in ["H1", "H2", "H3", "L1", "L2", "L3"]:
+            assert np.asarray(ab.get_cdr_mask(name)).any(), name
+
+    def test_imgt_on_chothia_numbered_file_warns_without_conversion(self):
         import warnings
 
         import protstruc_tpu as ps
@@ -180,7 +199,7 @@ class TestWrongSchemeGuard:
             warnings.simplefilter("always")
             ps.AntibodyStructureBatch.from_pdb(
                 "tests/data/6dc4.pdb", heavy_chain_id="H", light_chain_id="L",
-                numbering_scheme="imgt",
+                numbering_scheme="imgt", source_scheme=None,
             )
         msgs = [str(x.message) for x in w if issubclass(x.category, UserWarning)]
         assert any("numbering" in m and "scheme" in m for m in msgs), msgs

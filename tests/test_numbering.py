@@ -1,0 +1,280 @@
+"""Antibody numbering-scheme conversion (protstruc_tpu/numbering.py).
+
+The reference silently applies Chothia ranges for every requested scheme
+(protstruc.py:1084-1087); the rebuild converts.  Verified without a
+network oracle via (a) template round-trips that must be integer-exact,
+(b) conserved-anchor positions after conversion on real SAbDab
+Chothia-numbered files (6dc4, 15c8), and (c) published cross-scheme
+mask-set relations (IMGT CDR-H3 = Chothia H3 plus the two preceding FR3
+residues; Kabat H2 strictly contains IMGT CDR-H2; ...).
+"""
+
+import numpy as np
+import pytest
+
+from protstruc_tpu.numbering import (
+    convert_chain_numbering, detect_numbering_scheme)
+
+from tests.conftest import pdb_path
+
+
+# ---------------------------------------------------------------------------
+# pure-function: template chains
+# ---------------------------------------------------------------------------
+
+
+def test_template_heavy_round_trip_exact():
+    """A template-length heavy chain (one residue per Kabat position
+    1..113) converts to IMGT and back integer-exactly."""
+    nums = np.arange(1, 114)
+    imgt = convert_chain_numbering(nums, "heavy", "chothia", "imgt")
+    back = convert_chain_numbering(imgt, "heavy", "imgt", "chothia")
+    np.testing.assert_array_equal(back, nums)
+
+    # conserved landmarks (Dondelinger et al. 2018 / IMGT unique numbering)
+    bynum = dict(zip(nums.tolist(), imgt.tolist()))
+    assert bynum[22] == 23     # first domain Cys
+    assert bynum[36] == 41     # FR2 Trp
+    assert bynum[92] == 104    # second domain Cys
+    assert bynum[103] == 118   # FR4 Trp (W-G-x-G motif)
+    assert bynum[113] == 128   # Fv end
+    # IMGT numbers are monotone non-decreasing along the chain
+    assert (np.diff(imgt) >= 0).all()
+
+
+def test_template_light_round_trip_exact():
+    nums = np.arange(1, 110)
+    imgt = convert_chain_numbering(nums, "light", "chothia", "imgt")
+    back = convert_chain_numbering(imgt, "light", "imgt", "chothia")
+    np.testing.assert_array_equal(back, nums)
+
+    bynum = dict(zip(nums.tolist(), imgt.tolist()))
+    assert bynum[23] == 23     # first domain Cys
+    assert bynum[35] == 41     # FR2 Trp
+    assert bynum[88] == 104    # second domain Cys
+    assert bynum[98] == 118    # FR4 Phe/Trp
+    assert (np.diff(imgt) >= 0).all()
+
+
+def test_imgt_cdr_h3_extends_chothia_h3_by_two():
+    """IMGT CDR3 (105-117) covers Kabat/Chothia 93-102: the Chothia H3
+    (95-102) plus the two residues before it."""
+    nums = np.arange(1, 114)
+    imgt = convert_chain_numbering(nums, "heavy", "chothia", "imgt")
+    in_imgt_h3 = (imgt >= 105) & (imgt <= 117)
+    in_chothia_h3 = (nums >= 95) & (nums <= 102)
+    assert (in_imgt_h3 & in_chothia_h3).sum() == in_chothia_h3.sum()
+    assert in_imgt_h3.sum() == in_chothia_h3.sum() + 2
+    np.testing.assert_array_equal(np.nonzero(in_imgt_h3)[0][:2],
+                                  np.nonzero(nums == 93)[0].tolist()
+                                  + np.nonzero(nums == 94)[0].tolist())
+
+
+def test_long_h3_insertions_round_trip_masks():
+    """A 17-residue H3 (Kabat insertion codes parse as duplicated 100s)
+    keeps every loop residue inside the CDR3 range both ways."""
+    nums = np.concatenate([
+        np.arange(1, 100),                      # ...through 99
+        np.full(8, 100),                        # 100,100A-100G as ints
+        np.arange(101, 114),
+    ])
+    imgt = convert_chain_numbering(nums, "heavy", "chothia", "imgt")
+    back = convert_chain_numbering(imgt, "heavy", "imgt", "chothia")
+
+    h3_src = (nums >= 93) & (nums <= 102)
+    assert ((imgt[h3_src] >= 105) & (imgt[h3_src] <= 117)).all()
+    h3_back = (back >= 93) & (back <= 102)
+    np.testing.assert_array_equal(h3_back, h3_src)
+    # frameworks stay put
+    np.testing.assert_array_equal(back[~h3_src], nums[~h3_src])
+
+
+def test_short_loops_stay_in_range():
+    """A short L1 (deleted positions) still lands inside IMGT 27-38."""
+    # light chain with a 8-residue Kabat L1 (positions 27-29 absent)
+    nums = np.concatenate([np.arange(1, 27), np.arange(30, 110)])
+    imgt = convert_chain_numbering(nums, "light", "chothia", "imgt")
+    l1_src = (nums >= 24) & (nums <= 34)
+    # the IMGT CDR1 portion (all but the first 3 / last 2 of Kabat L1)
+    mid = l1_src & (nums >= 27) & (nums <= 32)
+    assert ((imgt[mid] >= 27) & (imgt[mid] <= 38)).all()
+    back = convert_chain_numbering(imgt, "light", "imgt", "chothia")
+    l1_back = (back >= 24) & (back <= 34)
+    np.testing.assert_array_equal(l1_back, l1_src)
+
+
+def test_constant_domain_shifts_past_fv():
+    """Chothia CH1 numbers (114+) must not collide with IMGT 114-128."""
+    nums = np.arange(1, 220)
+    imgt = convert_chain_numbering(nums, "heavy", "chothia", "imgt")
+    ch1 = nums > 113
+    assert (imgt[ch1] > 128).all()
+    assert (np.diff(imgt) >= 0).all()
+    back = convert_chain_numbering(imgt, "heavy", "imgt", "chothia")
+    np.testing.assert_array_equal(back, nums)
+
+
+def test_identity_and_validation():
+    nums = np.arange(1, 114)
+    np.testing.assert_array_equal(
+        convert_chain_numbering(nums, "heavy", "imgt", "imgt"), nums)
+    with pytest.raises(ValueError, match="chain_type"):
+        convert_chain_numbering(nums, "antigen", "chothia", "imgt")
+    with pytest.raises(ValueError, match="unknown scheme"):
+        convert_chain_numbering(nums, "heavy", "chothia", "martin")
+
+
+# ---------------------------------------------------------------------------
+# detection + real structures
+# ---------------------------------------------------------------------------
+
+
+def _parse_chain(path, chain):
+    from protstruc_tpu.pdbio.parser import parse_pdb
+
+    p = parse_pdb(path, chains=[chain])
+    sel = p.chain_id_per_res == chain
+    return p.residue_number[sel].astype(np.int64), p.oneletter[sel]
+
+
+@pytest.mark.parametrize("fname,hid,lid", [
+    ("6dc4.pdb", "H", "L"), ("15c8_HL.pdb", "H", "L")])
+def test_detect_chothia_on_sabdab_files(fname, hid, lid):
+    for chain, ctype in ((hid, "heavy"), (lid, "light")):
+        nums, letters = _parse_chain(pdb_path(fname), chain)
+        scheme, hits = detect_numbering_scheme(nums, letters, ctype)
+        assert scheme == "chothia" and hits == 2, (fname, chain)
+
+
+def test_detect_imgt_numbering():
+    """Converted numbers must be detected as IMGT."""
+    nums, letters = _parse_chain(pdb_path("6dc4.pdb"), "H")
+    imgt = convert_chain_numbering(nums, "heavy", "chothia", "imgt")
+    scheme, hits = detect_numbering_scheme(imgt, letters, "heavy")
+    assert scheme == "imgt" and hits == 2
+
+
+@pytest.mark.parametrize("fname", ["6dc4.pdb", "15c8_HL.pdb"])
+def test_conserved_anchors_after_conversion(fname):
+    """After chothia->imgt conversion of real chains, the IMGT anchor
+    positions carry their conserved residues: Cys23, Trp41, Cys104 and
+    the FR4 Trp118 (heavy) / Phe118 (light)."""
+    for chain, ctype in (("H", "heavy"), ("L", "light")):
+        nums, letters = _parse_chain(pdb_path(fname), chain)
+        imgt = convert_chain_numbering(nums, ctype, "chothia", "imgt")
+        bynum = dict(zip(imgt.tolist(), letters.tolist()))
+        assert bynum.get(23) == "C", (fname, chain, 23)
+        assert bynum.get(104) == "C", (fname, chain, 104)
+        assert bynum.get(41) == "W", (fname, chain, 41)
+        assert bynum.get(118) in ("W", "F"), (fname, chain, 118)
+
+
+# ---------------------------------------------------------------------------
+# batch-level: from_pdb with scheme conversion
+# ---------------------------------------------------------------------------
+
+
+def _masks(batch):
+    return {k: np.asarray(batch.get_cdr_mask(k))[0]
+            for k in ["H1", "H2", "H3", "L1", "L2", "L3"]}
+
+
+@pytest.mark.parametrize("fname", ["6dc4.pdb", "15c8_HL.pdb"])
+def test_from_pdb_imgt_masks_on_chothia_file(fname):
+    """The VERDICT r3 item-4 acceptance: numbering_scheme='imgt' on a
+    Chothia-numbered SAbDab file produces correct IMGT CDR masks."""
+    import warnings
+
+    from protstruc_tpu.antibody import AntibodyStructureBatch
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no wrong-scheme warning may fire
+        ab_c = AntibodyStructureBatch.from_pdb(
+            pdb_path(fname), heavy_chain_id="H", light_chain_id="L",
+            numbering_scheme="chothia")
+        ab_i = AntibodyStructureBatch.from_pdb(
+            pdb_path(fname), heavy_chain_id="H", light_chain_id="L",
+            numbering_scheme="imgt")
+        ab_k = AntibodyStructureBatch.from_pdb(
+            pdb_path(fname), heavy_chain_id="H", light_chain_id="L",
+            numbering_scheme="kabat")
+
+    mc, mi, mk = _masks(ab_c), _masks(ab_i), _masks(ab_k)
+    for name in mi:
+        assert mi[name].any(), f"empty IMGT {name}"
+
+    # published cross-scheme relations, asserted positionally:
+    # IMGT CDR-H3 = Chothia/Kabat H3 plus exactly the 2 preceding residues
+    assert (mi["H3"] & mc["H3"]).sum() == mc["H3"].sum()
+    assert mi["H3"].sum() == mc["H3"].sum() + 2
+    # Chothia H1 (structural loop) is inside IMGT CDR-H1
+    assert (mi["H1"] & mc["H1"]).sum() == mc["H1"].sum()
+    # Kabat H2 (50-65) strictly contains IMGT CDR-H2
+    assert (mk["H2"] & mi["H2"]).sum() == mi["H2"].sum()
+    assert mk["H2"].sum() > mi["H2"].sum()
+    # Kabat/Chothia L1 (24-34) contains IMGT CDR-L1
+    assert (mk["L1"] & mi["L1"]).sum() == mi["L1"].sum()
+    # IMGT CDR-L2 is the 3-residue loop at the head of Kabat L2
+    assert mi["L2"].sum() == 3
+    assert (mk["L2"] & mi["L2"]).sum() == mi["L2"].sum()
+    # L3: same loop, IMGT range just renumbers it
+    assert mi["L3"].sum() == mc["L3"].sum()
+    np.testing.assert_array_equal(mi["L3"], mc["L3"])
+
+
+def test_from_pdb_explicit_source_scheme_matches_auto():
+    from protstruc_tpu.antibody import AntibodyStructureBatch
+
+    auto = AntibodyStructureBatch.from_pdb(
+        pdb_path("6dc4.pdb"), heavy_chain_id="H", light_chain_id="L",
+        numbering_scheme="imgt")
+    explicit = AntibodyStructureBatch.from_pdb(
+        pdb_path("6dc4.pdb"), heavy_chain_id="H", light_chain_id="L",
+        numbering_scheme="imgt", source_scheme="chothia")
+    for k in ["H1", "H2", "H3", "L1", "L2", "L3", "fv"]:
+        np.testing.assert_array_equal(
+            np.asarray(auto.residue_masks[k]),
+            np.asarray(explicit.residue_masks[k]), err_msg=k)
+
+
+def test_from_pdb_source_none_keeps_round2_behavior():
+    """source_scheme=None asserts the file is already in the requested
+    scheme: ranges applied as-is, wrong-scheme plausibility warning."""
+    from protstruc_tpu.antibody import AntibodyStructureBatch
+
+    with pytest.warns(UserWarning, match="numbered in a different scheme"):
+        AntibodyStructureBatch.from_pdb(
+            pdb_path("6dc4.pdb"), heavy_chain_id="H", light_chain_id="L",
+            numbering_scheme="imgt", source_scheme=None)
+
+
+def _masked_seq(ab, mask):
+    seq = "".join(ab.get_seq()[0][c] for c in ab.chain_ids[0])
+    m = np.asarray(mask)[0][: len(seq)]
+    return "".join(ch for ch, keep in zip(seq, m) if keep)
+
+
+def test_keep_fv_only_with_conversion():
+    """Fv trimming happens in converted coordinates: the IMGT-trimmed Fv
+    covers the Chothia-trimmed Fv (IMGT's variable domain extends 1-2
+    residues further at the light FR4 tail — Chothia's fv_light table
+    stops at 106 while the VL domain runs to ~107)."""
+    from protstruc_tpu.antibody import AntibodyStructureBatch
+
+    ab_c = AntibodyStructureBatch.from_pdb(
+        pdb_path("6dc4.pdb"), heavy_chain_id="H", light_chain_id="L",
+        numbering_scheme="chothia", keep_fv_only=True)
+    ab_i = AntibodyStructureBatch.from_pdb(
+        pdb_path("6dc4.pdb"), heavy_chain_id="H", light_chain_id="L",
+        numbering_scheme="imgt", keep_fv_only=True)
+    n_c = int(ab_c.get_fv_mask().sum())
+    n_i = int(ab_i.get_fv_mask().sum())
+    assert n_c <= n_i <= n_c + 2
+    # the chothia Fv sequences are prefixes of the imgt Fv sequences
+    for chain in "HL":
+        assert ab_i.get_seq()[0][chain].startswith(ab_c.get_seq()[0][chain])
+    # the same structural loop survives either trim
+    assert (_masked_seq(ab_i, ab_i.get_cdr_mask("L3"))
+            == _masked_seq(ab_c, ab_c.get_cdr_mask("L3")))
+    assert (_masked_seq(ab_i, ab_i.get_cdr_mask("H3"))[2:]
+            == _masked_seq(ab_c, ab_c.get_cdr_mask("H3")))
