@@ -1,13 +1,18 @@
-"""Measure TrFold train-step time + XLA FLOP count -> MFU on the TPU.
+"""TrFold train-step MFU sweep: width/depth/pair-update curve on the TPU.
 
-Prints step time, XLA's own cost-analysis FLOP count for the compiled
-step, achieved TFLOP/s, and the fraction of TPU v5e peak (197 TFLOP/s
-bf16 / ~49 TFLOP/s for f32-precision matmuls).  Feeds the MFU paragraph
-in docs/guides/performance.md (VERDICT r1 item 9).
+For each config: step time (checksum protocol — fetch only the scalar
+loss), XLA's own cost-analysis FLOP count for the compiled step, achieved
+TFLOP/s, and % of TPU v5e peak (197 TFLOP/s bf16; ~49 TFLOP/s for
+f32-precision matmuls via 6-pass bf16 emulation).  Feeds the MFU section
+of docs/guides/performance.md (VERDICT r3 item 3: measure the curve up to
+the largest step that fits one chip instead of asserting it).
 
-Usage: python experiments/mfu.py   (default env = real TPU)
+Usage:
+    python experiments/mfu.py                 # the default sweep
+    python experiments/mfu.py D P BLOCKS [L] [B] [pair_update] [dtype]
 """
 
+import json
 import sys
 import time
 
@@ -17,24 +22,25 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-B, L = 4, 512
-PEAK_BF16 = 197e12  # TPU v5e MXU peak, bf16
-PEAK_F32 = 49e12    # ~bf16/4: f32-precision matmuls via 6-pass bf16 emulation
+PEAK_BF16 = 197e12
+PEAK_F32 = 49e12
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure(dtype_name, dtype):
+def measure(D, P, blocks, L=512, B=4, pair_update="mix", dtype_name="bf16",
+            remat=False, heads=8):
     import optax
 
     from protstruc_tpu.models.trfold import (
         TrFold, TrFoldConfig, featurize_for_model, loss_fn, make_train_state)
     import protstruc_tpu as ps
 
-    cfg = TrFoldConfig(node_dim=128, pair_dim=64, n_heads=8, n_blocks=3,
-                       dtype=dtype)
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    cfg = TrFoldConfig(node_dim=D, pair_dim=P, n_heads=heads, n_blocks=blocks,
+                       dtype=dtype, pair_update=pair_update, remat=remat)
     model = TrFold(cfg)
 
     rng = np.random.RandomState(0)
@@ -42,6 +48,7 @@ def measure(dtype_name, dtype):
     sb = ps.StructureBatch.from_xyz(xyz)
     feats = featurize_for_model(sb)
     params, opt_state, tx = make_train_state(model, feats, jax.random.PRNGKey(0))
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
 
     def step(params, opt_state, feats):
         loss, grads = jax.value_and_grad(loss_fn)(params, model, feats)
@@ -50,43 +57,81 @@ def measure(dtype_name, dtype):
         return params, opt_state, loss
 
     jstep = jax.jit(step, donate_argnums=(0, 1))
-    lowered = jstep.lower(params, opt_state, feats)
-    compiled = lowered.compile()
+    compiled = jstep.lower(params, opt_state, feats).compile()
     try:
-        flops = compiled.cost_analysis()["flops"]
+        flops = float(compiled.cost_analysis()["flops"])
     except Exception:
         flops = float("nan")
 
+    name = (f"D={D} P={P} b={blocks} L={L} B={B} {pair_update}"
+            f"{'+remat' if remat else ''} {dtype_name}")
     t0 = time.perf_counter()
     params, opt_state, loss = jstep(params, opt_state, feats)
     l0 = float(loss)
-    log(f"[{dtype_name}] compile+first step {time.perf_counter()-t0:.1f}s, "
-        f"loss={l0:.3f}")
+    log(f"[{name}] compile+first {time.perf_counter()-t0:.1f}s loss={l0:.3f} "
+        f"params={n_params/1e6:.1f}M")
 
-    # warm + timed (checksum protocol: fetch only the scalar loss)
     for _ in range(2):
         params, opt_state, loss = jstep(params, opt_state, feats)
     float(loss)
     iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, loss = jstep(params, opt_state, feats)
-    float(loss)
-    dt = (time.perf_counter() - t0) / iters
+    best = None
+    for _ in range(2):  # min-of-2 rounds vs relay stalls
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, opt_state, loss = jstep(params, opt_state, feats)
+        float(loss)
+        dt = (time.perf_counter() - t0) / iters
+        best = dt if best is None else min(best, dt)
+    dt = best
 
     peak = PEAK_BF16 if dtype == jnp.bfloat16 else PEAK_F32
-    tflops = flops / dt / 1e12
-    log(f"[{dtype_name}] {dt*1e3:.1f} ms/step, XLA flops/step = {flops/1e9:.2f} G "
-        f"-> {tflops:.2f} TFLOP/s achieved = {100*flops/dt/peak:.1f}% of "
-        f"{peak/1e12:.0f} TFLOP/s peak ({dtype_name})"
-        f" = {100*flops/dt/PEAK_BF16:.2f}% of bf16 peak")
-    return dt, flops
+    log(f"[{name}] {dt*1e3:.1f} ms/step, {flops/1e9:.0f} GFLOP "
+        f"-> {flops/dt/1e12:.2f} TFLOP/s = {100*flops/dt/peak:.1f}% of "
+        f"{peak/1e12:.0f}T peak = {100*flops/dt/PEAK_BF16:.2f}% of bf16 peak")
+    return {"config": name, "ms": round(dt * 1e3, 1),
+            "gflop": round(flops / 1e9, 1),
+            "tflops": round(flops / dt / 1e12, 2),
+            "pct_bf16_peak": round(100 * flops / dt / PEAK_BF16, 2),
+            "params_m": round(n_params / 1e6, 1)}
+
+
+DEFAULT_SWEEP = [
+    # the r3 baseline points (gated mix)
+    dict(D=128, P=64, blocks=3, dtype_name="f32"),
+    dict(D=128, P=64, blocks=3),
+    dict(D=384, P=128, blocks=6),
+    # width scaling, gated mix
+    dict(D=512, P=256, blocks=6),
+    # production-shape: triangle updates + remat at increasing width
+    dict(D=256, P=128, blocks=4, pair_update="triangle", remat=True),
+    dict(D=384, P=192, blocks=6, pair_update="triangle", remat=True),
+    dict(D=512, P=256, blocks=6, pair_update="triangle", remat=True),
+    # batch scaling at the big config (amortize optimizer HBM traffic)
+    dict(D=512, P=256, blocks=6, pair_update="triangle", remat=True, B=8,
+         L=384),
+]
 
 
 def main():
     log(f"backend: {jax.default_backend()}")
-    measure("f32", jnp.float32)
-    measure("bf16", jnp.bfloat16)
+    if len(sys.argv) > 1:
+        D, P, blocks = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+        L = int(sys.argv[4]) if len(sys.argv) > 4 else 512
+        B = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+        pu = sys.argv[6] if len(sys.argv) > 6 else "mix"
+        dt = sys.argv[7] if len(sys.argv) > 7 else "bf16"
+        rows = [measure(D, P, blocks, L=L, B=B, pair_update=pu,
+                        dtype_name=dt, remat=pu == "triangle")]
+    else:
+        rows = []
+        for kw in DEFAULT_SWEEP:
+            try:
+                rows.append(measure(**kw))
+            except Exception as e:
+                log(f"[sweep] {kw} FAILED: {type(e).__name__}: {e}")
+                rows.append({"config": str(kw), "error": str(e)})
+    print(json.dumps(rows, indent=2))
 
 
 if __name__ == "__main__":
