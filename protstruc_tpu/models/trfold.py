@@ -219,6 +219,35 @@ class PairBiasAttention(nn.Module):
         return nn.DenseGeneral(cfg.node_dim, axis=(-2, -1), name="out", dtype=cfg.dtype)(out)
 
 
+class _SplitDense(nn.Module):
+    """Dense over the concatenation of two inputs WITHOUT materializing it.
+
+    ``concat([a, b], -1) @ K + bias`` computed as the block-matrix form
+    ``a @ K[:Ca] + b @ K[Ca:] + bias``.  Mathematically identical and
+    param-tree identical to ``nn.Dense`` on the concatenation (kernel
+    ``(Ca+Cb, features)``, bias ``(features,)`` — checkpoints load across
+    the change), but XLA no longer materializes the ``(B, L, L, Ca+Cb)``
+    temp: at D=512/P=256 that concat was a 1 GB HLO temp per block and the
+    allocation that OOM'd the dense backward (XLA memory dump,
+    experiments/mfu.py r4).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, a, b):
+        ca, cb = a.shape[-1], b.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (ca + cb, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        kernel = kernel.astype(self.dtype)
+        return (
+            a @ kernel[:ca] + b @ kernel[ca:] + bias.astype(self.dtype)
+        )
+
+
 class PairUpdate(nn.Module):
     """Outer-product node->pair update + gated row/column mixing.
 
@@ -247,8 +276,8 @@ class PairUpdate(nn.Module):
         denom = jnp.maximum(jnp.sum(m, axis=1), 1.0)[:, None, None, None]
         row_ctx = jnp.einsum("bikc,bkjc->bijc", g_row * pm, pm) / denom
         col_ctx = jnp.einsum("bkic,bkjc->bijc", g_col * pm, pm) / denom
-        mix = nn.Dense(cfg.pair_dim, name="mix", dtype=cfg.dtype)(
-            jnp.concatenate([row_ctx, col_ctx], axis=-1)
+        mix = _SplitDense(cfg.pair_dim, name="mix", dtype=cfg.dtype)(
+            row_ctx, col_ctx
         )
         if cfg.pair_pre_norm:
             return pair + mix

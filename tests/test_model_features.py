@@ -222,3 +222,26 @@ class TestTriangleUpdate:
         l_mix = train("gated_mix")
         assert np.isfinite(l_tri) and np.isfinite(l_mix)
         assert l_tri < l_mix * 1.25  # at least in the same league
+
+
+def test_split_mix_dense_equals_concat_dense():
+    """The pair-update 'mix' projection computes concat([row,col]) @ K as
+    two block dots (a @ K[:C] + b @ K[C:]) so XLA never materializes the
+    (B, L, L, 2P) concat — at D=512/P=256 that temp was 1 GB per block and
+    OOM'd the dense backward (r4 MFU sweep).  Param tree and values must
+    match nn.Dense on the concatenation exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from protstruc_tpu.models.trfold import _SplitDense
+
+    rng = np.random.RandomState(3)
+    a = jnp.asarray(rng.randn(2, 4, 4, 6).astype(np.float32))
+    b = jnp.asarray(rng.randn(2, 4, 4, 10).astype(np.float32))
+    m = _SplitDense(8)
+    p = m.init(jax.random.PRNGKey(0), a, b)
+    assert p["params"]["kernel"].shape == (16, 8)  # nn.Dense-compatible
+    assert p["params"]["bias"].shape == (8,)
+    got = m.apply(p, a, b)
+    want = jnp.concatenate([a, b], -1) @ p["params"]["kernel"] + p["params"]["bias"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
