@@ -96,6 +96,19 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_renumber(args) -> int:
+    from protstruc_tpu.numbering import renumber_pdb
+
+    if args.heavy is None and args.light is None:
+        raise SystemExit("renumber needs --heavy and/or --light chain ids")
+    summary = renumber_pdb(
+        args.input, args.output,
+        heavy_chain_id=args.heavy, light_chain_id=args.light,
+        to_scheme=args.to_scheme, source_scheme=args.source_scheme)
+    print(json.dumps({"output": args.output, "chains": summary}))
+    return 0
+
+
 def cmd_convert(args) -> int:
     from protstruc_tpu.pdbio.writer import (
         structure_batch_to_cif,
@@ -312,6 +325,19 @@ def main(argv=None) -> int:
 
     i = sub.add_parser("info", help="backend / native-component status")
     i.set_defaults(fn=cmd_info)
+
+    rn = sub.add_parser(
+        "renumber",
+        help="convert antibody numbering scheme (chothia/kabat <-> imgt)")
+    rn.add_argument("input")
+    rn.add_argument("output")
+    rn.add_argument("--heavy", default=None, help="heavy chain id")
+    rn.add_argument("--light", default=None, help="light chain id")
+    rn.add_argument("--to", dest="to_scheme", default="imgt",
+                    choices=["chothia", "kabat", "imgt"])
+    rn.add_argument("--from", dest="source_scheme", default="auto",
+                    choices=["auto", "chothia", "kabat", "imgt"])
+    rn.set_defaults(fn=cmd_renumber)
 
     t = sub.add_parser("train", help="train FoldModel on PDB files/dirs")
     t.add_argument("inputs", nargs="+", help="PDB files or directories")

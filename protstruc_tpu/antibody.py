@@ -360,19 +360,28 @@ class AntibodyStructureBatch(StructureBatch):
             if convertible:
                 num = num.astype(np.int64).copy()
                 target = _int_scheme(numbering_scheme)
+                # conversion counts only atom-bearing residues: the parser
+                # gap-fills UNK rows for numbering gaps, and IMGT's
+                # convention gaps (CDR middles, FR1 position 10) would
+                # otherwise count as phantom residues and shift every fill.
+                # A zero-atom row contributes to no mask anyway, so it gets
+                # -1 (outside every range) when conversion applies.
+                has_atoms = np.asarray(p.atom_mask).any(axis=1)
                 for chain_mask, ctype in ((heavy, "heavy"), (light, "light")):
-                    if not chain_mask.any():
+                    real = chain_mask & has_atoms
+                    if not real.any():
                         continue
                     if source_scheme == "auto":
                         src, hits = _nb.detect_numbering_scheme(
-                            num[chain_mask], p.oneletter[chain_mask], ctype)
+                            num[real], p.oneletter[real], ctype)
                         if hits == 0:
                             src = target  # undetectable: assume as-requested
                     else:
                         src = _int_scheme(source_scheme)
                     if src != target:
-                        num[chain_mask] = _nb.convert_chain_numbering(
-                            num[chain_mask], ctype, src, target)
+                        num[real] = _nb.convert_chain_numbering(
+                            num[real], ctype, src, target)
+                        num[chain_mask & ~has_atoms] = -1
                 if keep_fv_only:
                     h_lo, h_hi = scheme["fv_heavy"]
                     l_lo, l_hi = scheme["fv_light"]

@@ -58,30 +58,34 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 __all__ = ["convert_chain_numbering", "detect_numbering_scheme",
-           "SCHEME_ANCHOR_CYS"]
+           "renumber_pdb", "SCHEME_ANCHOR_CYS"]
 
 
-# (name, kabat/chothia integer span, imgt integer span, fill rule)
-_HEAVY_SEGMENTS: List[Tuple[str, Tuple[int, int], Tuple[int, int], str]] = [
-    ("fr1a", (1, 22),    (1, 23),    "fr1"),    # ends at Cys 22 <-> 23
-    ("fr1b", (23, 25),   (24, 26),   "start"),
-    ("cdr1", (26, 35),   (27, 40),   "cdr1"),   # last 2 -> IMGT 39-40
-    ("fr2",  (36, 50),   (41, 55),   "start"),  # Trp 36 <-> 41
-    ("cdr2", (51, 58),   (56, 65),   "loop"),
-    ("fr3",  (59, 92),   (66, 104),  "end"),    # ends at Cys 92 <-> 104
-    ("cdr3", (93, 102),  (105, 117), "loop"),   # IMGT CDR3 includes K93-94
-    ("fr4",  (103, 113), (118, 128), "start"),  # Trp 103 <-> 118
+# (name, kabat/chothia integer span, imgt integer span, fill rule,
+#  Chothia insertion anchor in kc coordinates — where overflow residues
+#  take duplicate integers when converting INTO kabat/chothia, matching
+#  the SAbDab convention (31/52/82/100 heavy, 30/95 light); None = no
+#  canonical anchor (overflow falls back to the rule's own placement))
+_HEAVY_SEGMENTS = [
+    ("fr1a", (1, 22),    (1, 23),    "fr1",   None),  # ends at Cys 22 <-> 23
+    ("fr1b", (23, 25),   (24, 26),   "start", None),
+    ("cdr1", (26, 35),   (27, 40),   "cdr1",  31),    # last 2 -> IMGT 39-40
+    ("fr2",  (36, 50),   (41, 55),   "start", None),  # Trp 36 <-> 41
+    ("cdr2", (51, 58),   (56, 65),   "loop",  52),
+    ("fr3",  (59, 92),   (66, 104),  "end",   82),    # ends at Cys 92 <-> 104
+    ("cdr3", (93, 102),  (105, 117), "loop",  100),   # IMGT CDR3 incl. K93-94
+    ("fr4",  (103, 113), (118, 128), "start", None),  # Trp 103 <-> 118
 ]
 
-_LIGHT_SEGMENTS: List[Tuple[str, Tuple[int, int], Tuple[int, int], str]] = [
-    ("fr1a", (1, 23),   (1, 23),    "fr1"),     # ends at Cys 23 <-> 23
-    ("fr1b", (24, 26),  (24, 26),   "start"),   # Kabat L1's first 3 = IMGT FR1
-    ("cdr1", (27, 34),  (27, 40),   "cdr1"),    # last 2 -> IMGT 39-40
-    ("fr2",  (35, 49),  (41, 55),   "start"),   # Trp 35 <-> 41
-    ("cdr2", (50, 52),  (56, 65),   "loop"),    # IMGT CDR-L2 is 3 residues
-    ("fr3",  (53, 88),  (66, 104),  "end"),     # ends at Cys 88 <-> 104
-    ("cdr3", (89, 97),  (105, 117), "loop"),
-    ("fr4",  (98, 109), (118, 128), "start"),   # Phe/Trp 98 <-> 118
+_LIGHT_SEGMENTS = [
+    ("fr1a", (1, 23),   (1, 23),    "fr1",   None),  # ends at Cys 23 <-> 23
+    ("fr1b", (24, 26),  (24, 26),   "start", None),  # Kabat L1 head = IMGT FR1
+    ("cdr1", (27, 34),  (27, 40),   "cdr1",  30),    # last 2 -> IMGT 39-40
+    ("fr2",  (35, 49),  (41, 55),   "start", None),  # Trp 35 <-> 41
+    ("cdr2", (50, 52),  (56, 65),   "loop",  52),    # IMGT CDR-L2 is 3 residues
+    ("fr3",  (53, 88),  (66, 104),  "end",   None),  # ends at Cys 88 <-> 104
+    ("cdr3", (89, 97),  (105, 117), "loop",  95),
+    ("fr4",  (98, 109), (118, 128), "start", None),  # Phe/Trp 98 <-> 118
 ]
 
 _SEGMENTS = {"heavy": _HEAVY_SEGMENTS, "light": _LIGHT_SEGMENTS}
@@ -96,15 +100,25 @@ SCHEME_ANCHOR_CYS: Dict[str, Dict[str, Tuple[int, int]]] = {
 
 
 def _span(segment, scheme: str) -> Tuple[int, int]:
-    _, kc, imgt, _ = segment
+    _, kc, imgt, _, _ = segment
     return imgt if scheme == "imgt" else kc
 
 
-def _fill(n: int, lo: int, hi: int, rule: str) -> List[int]:
-    """Assign ``n`` residues (in order) integer numbers within [lo, hi]."""
+def _fill(n: int, lo: int, hi: int, rule: str, anchor: int = None) -> List[int]:
+    """Assign ``n`` residues (in order) integer numbers within [lo, hi].
+
+    ``anchor``: canonical insertion position — when the segment overflows
+    (n > m) the extra residues take duplicate integers there (the
+    kabat/chothia convention, e.g. heavy FR3 82A-C) instead of the rule's
+    default placement.
+    """
     m = hi - lo + 1
     if n == 0:
         return []
+    if n > m and anchor is not None:
+        head = anchor - lo + 1
+        return ([lo + i for i in range(head)] + [anchor] * (n - m)
+                + [anchor + 1 + i for i in range(hi - anchor)])
     if rule == "start":
         return [lo + min(i, m - 1) for i in range(n)]
     if rule == "end":
@@ -126,7 +140,7 @@ def _fill(n: int, lo: int, hi: int, rule: str) -> List[int]:
     if rule == "cdr1":
         if n <= 2:
             return [hi - 1 + i for i in range(n)][-n:] if n else []
-        return _fill(n - 2, lo, hi - 2, "loop") + [hi - 1, hi]
+        return _fill(n - 2, lo, hi - 2, "loop", anchor=anchor) + [hi - 1, hi]
     raise ValueError(f"unknown fill rule {rule!r}")
 
 
@@ -155,13 +169,14 @@ def convert_chain_numbering(
     segments = _SEGMENTS[chain_type]
     out = numbers.copy()
     for seg in segments:
-        name, _, _, rule = seg
+        name, _, _, rule, kc_anchor = seg
         lo_f, hi_f = _span(seg, from_scheme)
         lo_t, hi_t = _span(seg, to_scheme)
         idx = np.nonzero((numbers >= lo_f) & (numbers <= hi_f))[0]
         if idx.size == 0:
             continue
-        out[idx] = _fill(idx.size, lo_t, hi_t, rule)
+        anchor = kc_anchor if to_scheme != "imgt" else None
+        out[idx] = _fill(idx.size, lo_t, hi_t, rule, anchor=anchor)
     # constant-domain residues past the variable domain keep their order
     # but shift by the domain-length difference, so e.g. Chothia CH1
     # residues 114+ do not collide with IMGT's 114-128 Fv positions
@@ -200,3 +215,105 @@ def detect_numbering_scheme(
     if scores["chothia"] >= scores["imgt"]:
         best = "chothia"
     return best, scores[best]
+
+
+def renumber_pdb(
+    in_path: str,
+    out_path: str,
+    heavy_chain_id: str = None,
+    light_chain_id: str = None,
+    to_scheme: str = "imgt",
+    source_scheme: str = "auto",
+) -> dict:
+    """Rewrite a PDB with the antibody chains renumbered into ``to_scheme``.
+
+    File-level counterpart of :func:`convert_chain_numbering` (and the CLI
+    ``protstruc_tpu renumber``): parses ``in_path``, detects (or takes) the
+    source scheme per chain, converts the heavy/light author numbering, and
+    writes ATOM records carrying the converted numbers.  Non-antibody
+    chains and out-of-domain residues keep their numbering (constant
+    domains shift past the variable domain, see convert_chain_numbering).
+    Coordinates, atom composition, chain ids and residue order are
+    untouched.  Returns a summary dict
+    ``{chain: {"from": scheme, "to": scheme}}``.
+
+    Insertion letters are not emitted: positions that carried insertion
+    codes in the source become duplicated integers at the scheme's
+    insertion anchor (the masks every consumer builds are range-based, so
+    this is lossless for them).
+    """
+    import dataclasses
+
+    from protstruc_tpu.pdbio.parser import parse_pdb
+    from protstruc_tpu.vocab import AA, RESTYPE_HEAVY_ATOMS, one2three
+
+    p = parse_pdb(in_path)
+    # drop the parser's zero-atom gap-fill rows: they are numbering
+    # artifacts (missing residues, or IMGT convention gaps when the file
+    # is already IMGT-numbered), emit no ATOM records, and would count as
+    # phantom residues in the segment fills
+    real = p.atom_mask.any(axis=1)
+    p = dataclasses.replace(
+        p,
+        atom_xyz=p.atom_xyz[real], atom_mask=p.atom_mask[real],
+        chain_idx=p.chain_idx[real],
+        residue_idx=np.arange(int(real.sum()), dtype=np.int32),
+        chain_id_per_res=p.chain_id_per_res[real],
+        residue_number=p.residue_number[real],
+        insertion=p.insertion[real], oneletter=p.oneletter[real],
+    )
+    nums = p.residue_number.astype(np.int64).copy()
+    summary = {}
+    target = "imgt" if to_scheme == "imgt" else "chothia"
+    for cid, ctype in ((heavy_chain_id, "heavy"), (light_chain_id, "light")):
+        if cid is None:
+            continue
+        sel = p.chain_id_per_res == cid
+        if not sel.any():
+            raise ValueError(f"chain {cid!r} not found in {in_path}")
+        if source_scheme == "auto":
+            src, hits = detect_numbering_scheme(nums[sel], p.oneletter[sel],
+                                                ctype)
+            if hits == 0:
+                src = target
+        else:
+            src = "imgt" if source_scheme == "imgt" else "chothia"
+        if src != target:
+            nums[sel] = convert_chain_numbering(nums[sel], ctype, src, target)
+        summary[cid] = {"from": src, "to": to_scheme}
+
+    # consecutive residues sharing a converted integer are insertions:
+    # emit PDB insertion codes (A, B, ...) so they stay distinct residues
+    # on re-parse (the parser keys residues by (chain, number, icode))
+    icodes = [" "] * p.n_residues
+    seen = {}
+    for i in range(p.n_residues):
+        key = (str(p.chain_id_per_res[i]), int(nums[i]))
+        k = seen.get(key, 0)
+        if k > 0:
+            icodes[i] = chr(ord("A") + k - 1)
+        seen[key] = k + 1
+
+    lines = []
+    serial = 1
+    for i in range(p.n_residues):
+        aa3 = one2three.get(str(p.oneletter[i]), "UNK")
+        slot_names = RESTYPE_HEAVY_ATOMS[AA(aa3)]
+        for s in range(p.atom_xyz.shape[1]):
+            if not p.atom_mask[i, s] or not np.isfinite(p.atom_xyz[i, s]).all():
+                continue
+            name = slot_names[s]
+            if not name:
+                continue
+            x, y, z = (float(v) for v in p.atom_xyz[i, s])
+            pad_name = f" {name:<3s}" if len(name) < 4 else name
+            lines.append(
+                f"ATOM  {serial:5d} {pad_name} {aa3} {str(p.chain_id_per_res[i]):1s}"
+                f"{int(nums[i]):4d}{icodes[i]:1s}   {x:8.3f}{y:8.3f}{z:8.3f}"
+                f"{1.00:6.2f}{0.00:6.2f}          {name[0]:>2s}"
+            )
+            serial += 1
+    lines.append("END")
+    with open(out_path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return summary

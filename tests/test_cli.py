@@ -143,3 +143,21 @@ def test_serve_fold_op(tmp_path):
     assert lines[1]["ok"] and lines[2]["ok"]
     assert "mean_plddt" in lines[1]
     assert open(out_pdb).read().count("ATOM") >= 5 * 4
+
+
+def test_renumber_cli(tmp_path, capsys):
+    out = tmp_path / "imgt.pdb"
+    rc = main(["renumber", "tests/data/6dc4.pdb", str(out),
+               "--heavy", "H", "--light", "L", "--to", "imgt"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out)
+    assert rec["chains"] == {"H": {"from": "chothia", "to": "imgt"},
+                             "L": {"from": "chothia", "to": "imgt"}}
+
+    from protstruc_tpu.pdbio.parser import parse_pdb
+
+    p = parse_pdb(str(out))
+    real = p.atom_mask.any(1)
+    h = (p.chain_id_per_res == "H") & real
+    bynum = dict(zip(p.residue_number[h].tolist(), p.oneletter[h].tolist()))
+    assert bynum[23] == "C" and bynum[104] == "C"

@@ -278,3 +278,107 @@ def test_keep_fv_only_with_conversion():
             == _masked_seq(ab_c, ab_c.get_cdr_mask("L3")))
     assert (_masked_seq(ab_i, ab_i.get_cdr_mask("H3"))[2:]
             == _masked_seq(ab_c, ab_c.get_cdr_mask("H3")))
+
+
+# ---------------------------------------------------------------------------
+# file-level renumbering (renumber_pdb + CLI)
+# ---------------------------------------------------------------------------
+
+
+def test_renumber_pdb_round_trip_6dc4(tmp_path):
+    """File-level chothia->imgt->chothia on 6dc4 (insertions at the
+    Chothia anchors 52/82/100 heavy, 30 light) is integer-exact; IMGT
+    anchors hold in the intermediate file."""
+    from protstruc_tpu.numbering import renumber_pdb
+    from protstruc_tpu.pdbio.parser import parse_pdb
+
+    imgt = str(tmp_path / "imgt.pdb")
+    back = str(tmp_path / "back.pdb")
+    s = renumber_pdb(pdb_path("6dc4.pdb"), imgt,
+                     heavy_chain_id="H", light_chain_id="L", to_scheme="imgt")
+    assert s == {"H": {"from": "chothia", "to": "imgt"},
+                 "L": {"from": "chothia", "to": "imgt"}}
+
+    p1 = parse_pdb(imgt)
+    r1 = p1.atom_mask.any(1)
+    h = (p1.chain_id_per_res == "H") & r1
+    bynum = dict(zip(p1.residue_number[h].tolist(), p1.oneletter[h].tolist()))
+    assert bynum[23] == "C" and bynum[104] == "C" and bynum[41] == "W"
+
+    renumber_pdb(imgt, back, heavy_chain_id="H", light_chain_id="L",
+                 to_scheme="chothia")
+    p0 = parse_pdb(pdb_path("6dc4.pdb"))
+    r0 = p0.atom_mask.any(1)
+    p2 = parse_pdb(back)
+    r2 = p2.atom_mask.any(1)
+    np.testing.assert_array_equal(p2.residue_number[r2],
+                                  p0.residue_number[r0])
+    np.testing.assert_allclose(p2.atom_xyz[p2.atom_mask],
+                               p0.atom_xyz[p0.atom_mask], atol=1e-3)
+
+
+def test_renumber_pdb_normalizes_kabat_placed_insertions(tmp_path):
+    """15c8's L1 insertion letter sits at position 27 (the KABAT anchor);
+    chothia and kabat integers are otherwise identical, so the round trip
+    returns the same residue SET with the insertion normalized to the
+    Chothia anchor (30) — masks must be unchanged, ints differ only
+    inside the L1 loop."""
+    from protstruc_tpu.antibody import AntibodyStructureBatch
+    from protstruc_tpu.numbering import renumber_pdb
+    from protstruc_tpu.pdbio.parser import parse_pdb
+
+    imgt = str(tmp_path / "imgt.pdb")
+    back = str(tmp_path / "back.pdb")
+    renumber_pdb(pdb_path("15c8_HL.pdb"), imgt,
+                 heavy_chain_id="H", light_chain_id="L", to_scheme="imgt")
+    renumber_pdb(imgt, back, heavy_chain_id="H", light_chain_id="L",
+                 to_scheme="chothia")
+
+    p0 = parse_pdb(pdb_path("15c8_HL.pdb"))
+    r0 = p0.atom_mask.any(1)
+    p2 = parse_pdb(back)
+    r2 = p2.atom_mask.any(1)
+    a, b = p2.residue_number[r2], p0.residue_number[r0]
+    diff = np.nonzero(a != b)[0]
+    assert len(diff) <= 4  # only within the L1 loop
+    assert ((b[diff] >= 24) & (b[diff] <= 34)).all()
+
+    ab0 = AntibodyStructureBatch.from_pdb(
+        pdb_path("15c8_HL.pdb"), heavy_chain_id="H", light_chain_id="L")
+    ab2 = AntibodyStructureBatch.from_pdb(
+        back, heavy_chain_id="H", light_chain_id="L")
+    for k in ["H1", "H2", "H3", "L1", "L2", "L3"]:
+        assert (int(np.asarray(ab0.get_cdr_mask(k)).sum())
+                == int(np.asarray(ab2.get_cdr_mask(k)).sum())), k
+
+
+def test_imgt_file_ingests_with_imgt_scheme(tmp_path):
+    """A renumbered IMGT file ingested with numbering_scheme='imgt'
+    (auto-detection finds imgt -> no conversion) gives the same CDR mask
+    sizes as the original Chothia file ingested with scheme='imgt'
+    (conversion path)."""
+    import warnings
+
+    from protstruc_tpu.antibody import AntibodyStructureBatch
+    from protstruc_tpu.numbering import renumber_pdb
+
+    imgt = str(tmp_path / "imgt.pdb")
+    renumber_pdb(pdb_path("6dc4.pdb"), imgt,
+                 heavy_chain_id="H", light_chain_id="L", to_scheme="imgt")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        ab_f = AntibodyStructureBatch.from_pdb(
+            imgt, heavy_chain_id="H", light_chain_id="L",
+            numbering_scheme="imgt")
+        ab_c = AntibodyStructureBatch.from_pdb(
+            pdb_path("6dc4.pdb"), heavy_chain_id="H", light_chain_id="L",
+            numbering_scheme="imgt")
+    # compare over atom-bearing residues: the IMGT file's convention gaps
+    # (e.g. CDR middles) re-parse as zero-atom UNK gap rows whose numbers
+    # fall inside the CDR ranges — they carry no atoms, so every consumer
+    # of the masks sees identical features either way
+    rm_f = np.asarray(ab_f.residue_mask)
+    rm_c = np.asarray(ab_c.residue_mask)
+    for k in ["H1", "H2", "H3", "L1", "L2", "L3"]:
+        assert (int((np.asarray(ab_f.get_cdr_mask(k)) & rm_f).sum())
+                == int((np.asarray(ab_c.get_cdr_mask(k)) & rm_c).sum())), k
