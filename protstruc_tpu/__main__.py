@@ -163,6 +163,7 @@ def cmd_train(args) -> int:
         n_blocks=args.blocks, n_recycle=args.recycle,
         sequence_only=args.sequence_only, learning_rate=args.lr,
         save_every=args.save_every, seed=args.seed, bf16=args.bf16,
+        pair_update=args.pair_update, remat=args.remat,
         mesh_shape=(tuple(int(x) for x in args.mesh.split(","))
                     if args.mesh else None),
         crop_len=args.crop,
@@ -354,6 +355,13 @@ def main(argv=None) -> int:
     t.add_argument("--save-every", type=int, default=500)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--bf16", action="store_true")
+    t.add_argument("--pair-update", default="gated_mix",
+                   choices=("gated_mix", "triangle"),
+                   help="trunk pair-update mechanism (triangle = Evoformer "
+                        "multiplicative updates; pair with --remat)")
+    t.add_argument("--remat", action="store_true",
+                   help="rematerialize trunk blocks on backward "
+                        "(fits long-L / triangle training in HBM)")
     t.add_argument("--mesh", default=None,
                    help="dp,sp,tp device mesh, e.g. 4,2,1")
     t.add_argument("--crop", type=int, default=None, metavar="LEN",

@@ -50,6 +50,12 @@ class TrainConfig:
     seed: int = 0
     shuffle: bool = True
     bf16: bool = False
+    # trunk pair-update mechanism: "gated_mix" (gated row/column mixing,
+    # the throughput choice) or "triangle" (true Evoformer triangle
+    # multiplicative updates — higher capacity, O(L^3 P); pair with
+    # remat=True at production widths)
+    pair_update: str = "gated_mix"
+    remat: bool = False
     # observability: append {"step", "loss", "ms", "t"} lines to
     # <checkpoint_dir>/metrics.jsonl every log interval; capture an XProf
     # trace of steps 3-6 into profile_dir when set
@@ -85,7 +91,8 @@ def _build_model(cfg: TrainConfig):
     dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
     trunk = TrFoldConfig(node_dim=cfg.node_dim, pair_dim=cfg.pair_dim,
                          n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
-                         dtype=dtype)
+                         dtype=dtype, pair_update=cfg.pair_update,
+                         remat=cfg.remat)
     return FoldModel(
         trunk_cfg=trunk,
         ipa_cfg=IPAConfig(n_heads=cfg.n_heads, n_iter=cfg.n_ipa_iter),
@@ -186,7 +193,8 @@ def train(
         with open(cfg_path) as fh:
             existing = TrainConfig.from_json(fh.read())
         shape_fields = ("node_dim", "pair_dim", "n_heads", "n_blocks",
-                        "n_ipa_iter", "n_recycle", "sequence_only", "bf16")
+                        "n_ipa_iter", "n_recycle", "sequence_only", "bf16",
+                        "pair_update")
         diff = {f: (getattr(existing, f), getattr(cfg, f))
                 for f in shape_fields
                 if getattr(existing, f) != getattr(cfg, f)}

@@ -192,3 +192,30 @@ def test_fold_cli_multichain_pdb(small_pdb, tmp_path, capsys):
     assert " A   1 " in text.replace("  ", " ") or " A " in text
     chain_col = {l[21] for l in text.splitlines() if l.startswith("ATOM")}
     assert chain_col == {"A", "B"}
+
+
+def test_train_triangle_remat_production_loop(small_pdb, tmp_path):
+    """pair_update="triangle" + remat through the full production loop:
+    train -> checkpoint -> fold, and the config gate treats pair_update as
+    a shape field (triangle adds params; resuming across it must error)."""
+    import dataclasses
+
+    from protstruc_tpu.train import TrainConfig, fold_sequence, train
+
+    ck = str(tmp_path / "ck_tri")
+    cfg = TrainConfig(steps=2, batch_size=1, node_dim=16, pair_dim=8,
+                      n_heads=2, n_blocks=1, n_ipa_iter=2, n_recycle=0,
+                      save_every=0, shuffle=False,
+                      pair_update="triangle", remat=True)
+    m = train([small_pdb], ck, cfg, log_fn=lambda *a: None)
+    assert np.isfinite(m["final_loss"])
+    cfg_on_disk = json.load(open(os.path.join(ck, "config.json")))
+    assert cfg_on_disk["pair_update"] == "triangle"
+
+    coords = np.asarray(fold_sequence(ck, "ACDEFGH"))
+    assert coords.shape == (7, 5, 3) and np.isfinite(coords).all()
+
+    with pytest.raises(ValueError, match="pair_update"):
+        train([small_pdb], ck,
+              dataclasses.replace(cfg, pair_update="gated_mix"),
+              log_fn=lambda *a: None)
