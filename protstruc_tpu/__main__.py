@@ -141,6 +141,46 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_score(args) -> int:
+    """Model-vs-native structure metrics (lDDT, TM-score, GDT-TS, RMSD,
+    DockQ for complexes) — the evaluation half of a folding workflow,
+    complementing ``fold`` the way the reference's metrics consumers
+    (README.md:7-12 positions it as a DL-pipeline feeder) would expect."""
+    import jax.numpy as jnp
+
+    from protstruc_tpu.ops import metrics as M
+
+    model, native = _load([args.model]), _load([args.native])
+    if model.n_residues != native.n_residues:
+        raise SystemExit(
+            f"residue count mismatch: model has {model.n_residues}, "
+            f"native has {native.n_residues} — score needs a 1:1 mapping")
+    ca_m = jnp.nan_to_num(model.xyz[:, :, 1], nan=1e6)
+    ca_n = jnp.nan_to_num(native.xyz[:, :, 1], nan=1e6)
+    mask = (model.residue_mask & native.residue_mask
+            & jnp.isfinite(model.xyz[:, :, 1]).all(-1)
+            & jnp.isfinite(native.xyz[:, :, 1]).all(-1))
+    report = {
+        "n_residues": int(mask.sum()),
+        "ca_rmsd": round(float(M.rmsd(ca_m, ca_n, mask=mask)[0]), 3),
+        "ca_lddt": round(float(M.lddt(ca_m, ca_n, mask=mask)[0]), 4),
+        "tm_score": round(float(M.tm_score(ca_m, ca_n, mask=mask)[0]), 4),
+        "gdt_ts": round(float(M.gdt_ts(ca_m, ca_n, mask=mask)[0]), 4),
+    }
+    n_chains = int(native.chain_idx.max()) + 1
+    if n_chains >= 2:
+        rec_ids = {int(x) for x in args.receptor_chains.split(",")}
+        rec = jnp.isin(native.chain_idx, jnp.asarray(sorted(rec_ids))) & mask
+        lig = (~jnp.isin(native.chain_idx, jnp.asarray(sorted(rec_ids)))) & mask
+        q = float(M.dockq(model.xyz, native.xyz,
+                          model.atom_mask & native.atom_mask, rec, lig)[0])
+        report["dockq"] = round(q, 4)
+        report["capri_band"] = ("high" if q > 0.80 else "medium" if q > 0.49
+                                else "acceptable" if q > 0.23 else "incorrect")
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_train(args) -> int:
     import glob
     import os
@@ -379,6 +419,15 @@ def main(argv=None) -> int:
     fd.add_argument("--relax", type=int, default=0, metavar="STEPS",
                     help="gradient-relax the output for STEPS steps")
     fd.set_defaults(fn=cmd_fold)
+
+    sc = sub.add_parser("score",
+                        help="model-vs-native metrics (lDDT/TM/GDT/DockQ)")
+    sc.add_argument("model", help="predicted-structure PDB/mmCIF")
+    sc.add_argument("native", help="reference-structure PDB/mmCIF")
+    sc.add_argument("--receptor-chains", default="0",
+                    help="comma-separated chain indices forming the DockQ "
+                         "receptor (default: chain 0; rest is the ligand)")
+    sc.set_defaults(fn=cmd_score)
 
     sv = sub.add_parser("serve",
                         help="JSONL request loop over the AOT featurizer")

@@ -161,3 +161,48 @@ def test_renumber_cli(tmp_path, capsys):
     h = (p.chain_id_per_res == "H") & real
     bynum = dict(zip(p.residue_number[h].tolist(), p.oneletter[h].tolist()))
     assert bynum[23] == "C" and bynum[104] == "C"
+
+
+def test_score_self_is_perfect(capsys):
+    """score of a structure against itself: all metrics at their ceiling."""
+    rc = main(["score", "tests/data/1REX.pdb", "tests/data/1REX.pdb"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["ca_rmsd"] < 1e-3
+    assert rep["ca_lddt"] > 0.999
+    assert rep["tm_score"] > 0.999
+    assert rep["gdt_ts"] > 0.999
+    assert "dockq" not in rep  # single chain: no interface metrics
+
+
+def test_score_complex_dockq_and_perturbation(tmp_path, capsys):
+    """Two-chain complex: self-score gives DockQ 1.0/high; rigid-moving the
+    ligand chain degrades DockQ but not receptor-frame CA metrics much."""
+    import jax.numpy as jnp
+
+    import protstruc_tpu as ps
+    from protstruc_tpu.pdbio.writer import structure_batch_to_pdb
+
+    native = "tests/data/1ad0_DC.pdb"
+    rc = main(["score", native, native])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["dockq"] > 0.999 and rep["capri_band"] == "high"
+
+    sb = ps.StructureBatch.from_pdb(native)
+    lig = (sb.chain_idx == 1)[:, :, None, None]
+    moved = sb.replace(xyz=jnp.where(lig, sb.xyz + 8.0, sb.xyz))
+    model_path = str(tmp_path / "model.pdb")
+    structure_batch_to_pdb(moved, model_path)
+    rc = main(["score", model_path, native])
+    assert rc == 0
+    rep2 = json.loads(capsys.readouterr().out)
+    assert rep2["dockq"] < rep["dockq"] - 0.2
+    assert rep2["capri_band"] in ("incorrect", "acceptable", "medium")
+
+
+def test_score_length_mismatch_errors(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit, match="residue count mismatch"):
+        main(["score", "tests/data/1REX.pdb", "tests/data/4EOT.pdb"])
