@@ -25,6 +25,7 @@ import dataclasses
 import json
 import os
 import time
+from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -208,7 +209,10 @@ def train(
     with open(cfg_path, "w") as fh:
         fh.write(cfg.to_json())
 
-    @jax.jit
+    # donate params/opt_state: XLA updates them in place instead of holding
+    # old + new copies live across the step — at production widths the
+    # optimizer traffic halves and the freed HBM goes to activations
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step_fn(params, opt_state, feats, target, xyz):
         loss, grads = jax.value_and_grad(fold_loss_fn)(
             params, model, feats, xyz, target_feats=target)
