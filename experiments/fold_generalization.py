@@ -117,11 +117,18 @@ def run_mode(mode, steps, ck_root):
 
     train_paths = [f"{DATA}/{f}" for f in TRAIN_FILES]
     eval_paths = [f"{DATA}/{f}" for f in HELDOUT_FILES]
+    # mode = "<inputs>" or "<inputs>_triangle": inputs selects the feature
+    # pipeline, the suffix swaps the trunk pair-update for Evoformer
+    # triangle multiplicative updates (+ remat to fit the L=256 crops).
+    triangle = mode.endswith("_triangle")
+    inputs = mode[: -len("_triangle")] if triangle else mode
     cfg = TrainConfig(
         steps=steps, batch_size=4, node_dim=128, pair_dim=64, n_heads=4,
         n_blocks=4, n_ipa_iter=6, n_recycle=1, crop_len=256,
-        sequence_only=(mode == "sequence"), save_every=max(steps // 8, 1),
+        sequence_only=(inputs == "sequence"), save_every=max(steps // 8, 1),
         seed=0,
+        pair_update="triangle" if triangle else "gated_mix",
+        remat=triangle,
     )
     ck = os.path.join(ck_root, mode)
     t0 = time.perf_counter()
@@ -160,6 +167,7 @@ def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
     out_path = (sys.argv[2] if len(sys.argv) > 2
                 else "docs/quality/fold_generalization_r4.json")
+    modes = sys.argv[3:] or ["structure", "sequence"]
 
     import jax
 
@@ -180,7 +188,7 @@ def main():
         "baselines": baselines,
         "modes": {},
     }
-    for mode in ("structure", "sequence"):
+    for mode in modes:
         log(f"=== mode: {mode} ===")
         report["modes"][mode] = run_mode(mode, steps, ck_root)
         # checkpoint partial progress so a crash still leaves an artifact
