@@ -206,6 +206,7 @@ def cmd_train(args) -> int:
         pair_update=args.pair_update, remat=args.remat,
         mesh_shape=(tuple(int(x) for x in args.mesh.split(","))
                     if args.mesh else None),
+        zero1=args.zero1,
         crop_len=args.crop,
     )
     metrics = train(paths, args.checkpoint_dir, cfg,
@@ -404,6 +405,8 @@ def main(argv=None) -> int:
                         "(fits long-L / triangle training in HBM)")
     t.add_argument("--mesh", default=None,
                    help="dp,sp,tp device mesh, e.g. 4,2,1")
+    t.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: partition Adam moments over the dp axis")
     t.add_argument("--crop", type=int, default=None, metavar="LEN",
                    help="train on random contiguous crops of LEN residues")
     t.add_argument("--eval", nargs="+", default=None, metavar="PDB",

@@ -13,3 +13,7 @@ from protstruc_tpu.parallel.mesh import (
     shard_batch,
     featurize_sharded,
 )
+from protstruc_tpu.parallel.zero import (
+    zero1_opt_shardings,
+    shard_opt_state_zero1,
+)

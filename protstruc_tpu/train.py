@@ -72,6 +72,10 @@ class TrainConfig:
     # (attention heads over tp), batches shard P(('dp',), 'sp') — XLA
     # (GSPMD) inserts the collectives.
     mesh_shape: Optional[tuple] = None
+    # ZeRO-1: partition the Adam moments over the dp axis instead of
+    # replicating them (parallel/zero.py) — saves 8 bytes/param/replica
+    # of HBM at the cost of one all-gather per step that GSPMD inserts
+    zero1: bool = False
 
     def to_json(self) -> str:
         d = dataclasses.asdict(self)
@@ -211,12 +215,19 @@ def train(
 
     # donate params/opt_state: XLA updates them in place instead of holding
     # old + new copies live across the step — at production widths the
-    # optimizer traffic halves and the freed HBM goes to activations
+    # optimizer traffic halves and the freed HBM goes to activations.
+    # opt_pin is filled before the first trace when cfg.zero1: without the
+    # constraint GSPMD would propagate the replicated gradient sharding
+    # through the moment update and silently undo the ZeRO partitioning.
+    opt_pin = [None]
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def step_fn(params, opt_state, feats, target, xyz):
         loss, grads = jax.value_and_grad(fold_loss_fn)(
             params, model, feats, xyz, target_feats=target)
         updates, opt_state = tx.update(grads, opt_state, params)
+        if opt_pin[0] is not None:
+            opt_state = jax.lax.with_sharding_constraint(opt_state, opt_pin[0])
         return optax.apply_updates(params, updates), opt_state, loss
 
     params = opt_state = None
@@ -238,9 +249,15 @@ def train(
                 if mesh is not None:
                     from protstruc_tpu.models.ipa import ipa_param_shardings
 
-                    params = jax.device_put(
-                        params, ipa_param_shardings(params, mesh))
+                    p_shardings = ipa_param_shardings(params, mesh)
+                    params = jax.device_put(params, p_shardings)
                     opt_state = jax.jit(tx.init)(params)
+                    if cfg.zero1:
+                        from protstruc_tpu.parallel.zero import (
+                            shard_opt_state_zero1)
+
+                        opt_state, opt_pin[0] = shard_opt_state_zero1(
+                            opt_state, mesh, param_shardings=p_shardings)
                 else:
                     opt_state = tx.init(params)
                 prev = latest_step(checkpoint_dir)
