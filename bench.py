@@ -361,12 +361,17 @@ def run_mfu(rtt):
     for _ in range(2):
         params, opt_state, loss = jstep(params, opt_state, feats)
     float(loss)
+    # min of 2 timed rounds: a relay stall (tunnel RTT swings of ms,
+    # docs/guides/performance.md) must not land in the round-over-round
+    # MFU line the driver artifact certifies
     iters = 8
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, loss = jstep(params, opt_state, feats)
-    float(loss)
-    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / iters
+    dt = float("inf")
+    for _round in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, opt_state, loss = jstep(params, opt_state, feats)
+        float(loss)
+        dt = min(dt, max(time.perf_counter() - t0 - rtt, 1e-9) / iters)
     log(f"[mfu] TrFold bf16 D={cfg.node_dim} P={cfg.pair_dim} "
         f"blocks={cfg.n_blocks} B={Bm} L={Lm}: {dt*1e3:.1f} ms/step, "
         f"{flops/1e9:.1f} GFLOP -> {flops/dt/1e12:.2f} TFLOP/s = "

@@ -175,8 +175,7 @@ def cmd_score(args) -> int:
         q = float(M.dockq(model.xyz, native.xyz,
                           model.atom_mask & native.atom_mask, rec, lig)[0])
         report["dockq"] = round(q, 4)
-        report["capri_band"] = ("high" if q > 0.80 else "medium" if q > 0.49
-                                else "acceptable" if q > 0.23 else "incorrect")
+        report["capri_band"] = M.capri_band(q)
     print(json.dumps(report))
     return 0
 

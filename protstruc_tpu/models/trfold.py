@@ -243,6 +243,11 @@ class _SplitDense(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         kernel = kernel.astype(self.dtype)
+        # cast inputs like nn.Dense would: f32 activations against a bf16
+        # kernel would otherwise promote to f32 math and re-inflate the
+        # (B, L, L, .) temps this class exists to shrink
+        a = a.astype(self.dtype)
+        b = b.astype(self.dtype)
         return (
             a @ kernel[:ca] + b @ kernel[ca:] + bias.astype(self.dtype)
         )

@@ -58,7 +58,7 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 __all__ = ["convert_chain_numbering", "detect_numbering_scheme",
-           "renumber_pdb", "SCHEME_ANCHOR_CYS"]
+           "scheme_anchor_scores", "renumber_pdb", "SCHEME_ANCHOR_CYS"]
 
 
 # (name, kabat/chothia integer span, imgt integer span, fill rule,
@@ -175,8 +175,48 @@ def convert_chain_numbering(
         idx = np.nonzero((numbers >= lo_f) & (numbers <= hi_f))[0]
         if idx.size == 0:
             continue
-        anchor = kc_anchor if to_scheme != "imgt" else None
-        out[idx] = _fill(idx.size, lo_t, hi_t, rule, anchor=anchor)
+        if rule in ("start", "end", "fr1"):
+            # frameworks: map each residue by its source-number OFFSET from
+            # the segment anchor, not by residue count — interior missing
+            # residues (disordered loops, very common in crystal structures)
+            # then leave a gap at their own positions instead of shifting
+            # the whole segment off its conserved landmark.  For a complete
+            # segment this equals the count-based fill; insertion-coded
+            # duplicates map to duplicates.
+            src = numbers[idx]
+            if rule == "start":
+                t = lo_t + (src - lo_f)
+            elif rule == "end":
+                t = hi_t - (hi_f - src)
+            else:  # fr1: first 9 positions start-anchored, rest end-anchored
+                t = np.where(src - lo_f < 9,
+                             lo_t + (src - lo_f), hi_t - (hi_f - src))
+            t = np.clip(t, lo_t, hi_t)
+            # insertion-coded duplicates (equal source integers): spread a
+            # run into the unused slots before the next residue's target,
+            # so e.g. an imgt duplicate 128,128 converts back to chothia
+            # 108,109 where there is room, while duplicates at a filled
+            # anchor (heavy 82A-C with 83 present) stay duplicates — the
+            # kabat/chothia convention
+            n_seg = idx.size
+            j = 0
+            while j < n_seg:
+                k = j
+                while k + 1 < n_seg and src[k + 1] == src[j]:
+                    k += 1
+                if k > j:
+                    nxt = t[k + 1] if k + 1 < n_seg else hi_t + 1
+                    room = max(int(nxt - t[j]), 1)
+                    for o in range(k - j + 1):
+                        t[j + o] = t[j] + min(o, room - 1)
+                j = k + 1
+            out[idx] = t
+        else:
+            # CDR loops: length-based fill is the convention (an n-residue
+            # loop numbers front/back halves from the boundaries regardless
+            # of its source numbers)
+            anchor = kc_anchor if to_scheme != "imgt" else None
+            out[idx] = _fill(idx.size, lo_t, hi_t, rule, anchor=anchor)
     # constant-domain residues past the variable domain keep their order
     # but shift by the domain-length difference, so e.g. Chothia CH1
     # residues 114+ do not collide with IMGT's 114-128 Fv positions
@@ -187,6 +227,29 @@ def convert_chain_numbering(
     return out
 
 
+def scheme_anchor_scores(
+    numbers: Sequence[int],
+    oneletter: Sequence[str],
+    chain_type: str,
+) -> Dict[str, int]:
+    """Anchor-cysteine hit count (0-2) per scheme for one chain.
+
+    Chothia and Kabat share integer anchor positions, so "chothia" stands
+    for both (their integer numbering is identical; only CDR *definitions*
+    differ).
+    """
+    numbers = np.asarray(numbers, dtype=np.int64)
+    letters = np.asarray(list(oneletter))
+    scores = {}
+    for scheme in ("chothia", "imgt"):
+        anchors = SCHEME_ANCHOR_CYS[scheme][chain_type]
+        scores[scheme] = sum(
+            bool(np.any((numbers == pos) & (letters == "C")))
+            for pos in anchors
+        )
+    return scores
+
+
 def detect_numbering_scheme(
     numbers: Sequence[int],
     oneletter: Sequence[str],
@@ -194,26 +257,17 @@ def detect_numbering_scheme(
 ) -> Tuple[str, int]:
     """Best-guess scheme for one chain from its conserved-Cys anchors.
 
-    Returns ``(scheme, hits)`` where hits is the number of matched anchor
-    cysteines (0-2) for the winning scheme.  Chothia and Kabat share
-    integer anchor positions, so "chothia" stands for both (their integer
-    numbering is identical; only CDR *definitions* differ).
+    Returns ``(scheme, hits)`` where hits is the matched anchor count for
+    the winning scheme.  A TIE between the schemes (e.g. only the shared
+    first Cys matched because the second is disordered) is genuinely
+    ambiguous — callers that *convert* on this answer should demand a
+    strict winner via :func:`scheme_anchor_scores` instead of acting on
+    the deterministic chothia tie-break returned here.
     """
-    numbers = np.asarray(numbers, dtype=np.int64)
-    letters = np.asarray(list(oneletter))
-    scores = {}
-    for scheme in ("chothia", "imgt"):
-        anchors = SCHEME_ANCHOR_CYS[scheme][chain_type]
-        hits = sum(
-            bool(np.any((numbers == pos) & (letters == "C")))
-            for pos in anchors
-        )
-        scores[scheme] = hits
-    best = max(scores, key=lambda s: scores[s])
+    scores = scheme_anchor_scores(numbers, oneletter, chain_type)
     # deterministic tie-break: prefer chothia (the SAbDab default) when
     # the anchors cannot separate the schemes
-    if scores["chothia"] >= scores["imgt"]:
-        best = "chothia"
+    best = "chothia" if scores["chothia"] >= scores["imgt"] else "imgt"
     return best, scores[best]
 
 
@@ -272,9 +326,24 @@ def renumber_pdb(
         if not sel.any():
             raise ValueError(f"chain {cid!r} not found in {in_path}")
         if source_scheme == "auto":
-            src, hits = detect_numbering_scheme(nums[sel], p.oneletter[sel],
-                                                ctype)
-            if hits == 0:
+            # convert only on an unambiguous detection: a TIE (e.g. only
+            # the shared first Cys matched because the second is
+            # disordered) must not silently re-gap an already-correct
+            # chain, so it is left unconverted with a warning
+            scores = scheme_anchor_scores(nums[sel], p.oneletter[sel], ctype)
+            if scores["chothia"] > scores["imgt"]:
+                src = "chothia"
+            elif scores["imgt"] > scores["chothia"]:
+                src = "imgt"
+            else:
+                if max(scores.values()) > 0:
+                    import warnings
+
+                    warnings.warn(
+                        f"chain {cid!r}: anchor cysteines cannot separate "
+                        f"chothia from imgt (scores {scores}); leaving its "
+                        f"numbering unconverted — pass source_scheme "
+                        f"explicitly to force a conversion")
                 src = target
         else:
             src = "imgt" if source_scheme == "imgt" else "chothia"
@@ -297,6 +366,10 @@ def renumber_pdb(
     lines = []
     serial = 1
     for i in range(p.n_residues):
+        # 'X'->UNK can only come from the parser's zero-atom gap dummies
+        # (non-canonical residues are dropped at parse), and those rows
+        # were filtered above — so the empty UNK slot table never eats a
+        # real residue's atoms here
         aa3 = one2three.get(str(p.oneletter[i]), "UNK")
         slot_names = RESTYPE_HEAVY_ATOMS[AA(aa3)]
         for s in range(p.atom_xyz.shape[1]):

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from protstruc_tpu import geometry as geom
 
 __all__ = ["rmsd", "superimpose", "tm_score", "gdt_ts", "lddt",
-           "fnat", "interface_rmsd", "dockq"]
+           "fnat", "interface_rmsd", "dockq", "capri_band"]
 
 
 def _masked_mean(x, w, axis):
@@ -259,3 +259,14 @@ def dockq(model_xyz, native_xyz, atom_mask, rec_mask, lig_mask) -> jnp.ndarray:
         + 1.0 / (1.0 + (irms / 1.5) ** 2)
         + 1.0 / (1.0 + (lrms / 8.5) ** 2)
     ) / 3.0
+
+
+def capri_band(q: float) -> str:
+    """CAPRI quality band for a DockQ score (Basu & Wallner 2016, Table 1).
+
+    Boundary values land in the UPPER band:
+    incorrect < 0.23 <= acceptable < 0.49 <= medium < 0.80 <= high.
+    """
+    return ("high" if q >= 0.80 else
+            "medium" if q >= 0.49 else
+            "acceptable" if q >= 0.23 else "incorrect")

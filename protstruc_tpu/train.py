@@ -172,6 +172,11 @@ def train(
 
     if not paths:
         raise ValueError("train() needs at least one input structure")
+    if cfg.zero1 and cfg.mesh_shape is None:
+        raise ValueError(
+            "zero1=True requires mesh_shape: ZeRO-1 partitions optimizer "
+            "state over the dp mesh axis — without a mesh it would be "
+            "silently ignored")
     model = _build_model(cfg)
     tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
                      optax.adamw(cfg.learning_rate))

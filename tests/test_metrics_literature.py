@@ -160,3 +160,16 @@ def test_tm_score_l_target_normalization():
     got = float(tm_score(model, native, align=False,
                          l_target=jnp.asarray([126.0]))[0])
     np.testing.assert_allclose(got, base, atol=1e-6)
+
+
+def test_capri_band_boundaries():
+    """Boundary DockQ values land in the UPPER band (Basu & Wallner 2016):
+    incorrect < 0.23 <= acceptable < 0.49 <= medium < 0.80 <= high."""
+    from protstruc_tpu.ops.metrics import capri_band
+
+    assert capri_band(0.80) == "high"
+    assert capri_band(0.799) == "medium"
+    assert capri_band(0.49) == "medium"
+    assert capri_band(0.489) == "acceptable"
+    assert capri_band(0.23) == "acceptable"
+    assert capri_band(0.229) == "incorrect"

@@ -382,3 +382,79 @@ def test_imgt_file_ingests_with_imgt_scheme(tmp_path):
     for k in ["H1", "H2", "H3", "L1", "L2", "L3"]:
         assert (int((np.asarray(ab_f.get_cdr_mask(k)) & rm_f).sum())
                 == int((np.asarray(ab_c.get_cdr_mask(k)) & rm_c).sum())), k
+
+
+# ---------------------------------------------------------------------------
+# gap robustness + detection ambiguity (round-4 review fixes)
+# ---------------------------------------------------------------------------
+
+
+def test_interior_gap_does_not_shift_framework():
+    """Disordered interior residues (here Chothia H60-65 missing from FR3)
+    must not shift the rest of the framework off its conserved landmarks:
+    every present residue converts to the same IMGT number as in the
+    complete chain, and the missing stretch leaves a gap at its own
+    position instead of sliding the segment."""
+    full = np.arange(1, 114)
+    gapped = full[(full < 60) | (full > 65)]
+    conv_full = convert_chain_numbering(full, "heavy", "chothia", "imgt")
+    conv_gap = convert_chain_numbering(gapped, "heavy", "chothia", "imgt")
+    lookup = dict(zip(full.tolist(), conv_full.tolist()))
+    np.testing.assert_array_equal(
+        conv_gap, np.asarray([lookup[n] for n in gapped.tolist()]))
+    # the second Cys stays anchored: Chothia 92 -> IMGT 104
+    assert lookup[92] == 104
+    assert dict(zip(gapped.tolist(), conv_gap.tolist()))[92] == 104
+
+
+def test_truncated_nterm_keeps_own_numbers():
+    """A chain whose first residues are disordered (starts at Chothia 4)
+    keeps start-anchored offsets instead of renumbering from 1."""
+    nums = np.arange(4, 114)
+    conv = convert_chain_numbering(nums, "heavy", "chothia", "imgt")
+    assert conv[0] == 4  # fr1 start-anchored by offset
+    assert conv[np.nonzero(nums == 22)[0][0]] == 23  # first Cys
+
+
+def test_ambiguous_detection_leaves_numbering_alone(tmp_path):
+    """An IMGT-numbered light chain whose SECOND anchor Cys is absent
+    (disordered) ties the anchor scores (shared Cys-23); auto-detection
+    must then leave the numbering unconverted (with a warning) rather
+    than silently re-gapping an already-correct chain."""
+    import warnings
+
+    from protstruc_tpu.numbering import renumber_pdb, scheme_anchor_scores
+
+    imgt = str(tmp_path / "imgt.pdb")
+    renumber_pdb(pdb_path("6dc4.pdb"), imgt,
+                 heavy_chain_id="H", light_chain_id="L", to_scheme="imgt")
+    # drop the light chain's Cys-104 to force the tie
+    out_lines = []
+    for line in open(imgt):
+        if (line.startswith("ATOM") and line[21] == "L"
+                and int(line[22:26]) == 104 and line[17:20] == "CYS"):
+            continue
+        out_lines.append(line)
+    tied = str(tmp_path / "tied.pdb")
+    open(tied, "w").writelines(out_lines)
+
+    from protstruc_tpu.pdbio.parser import parse_pdb
+
+    p = parse_pdb(tied)
+    sel = p.chain_id_per_res == "L"
+    real = sel & p.atom_mask.any(axis=1)
+    scores = scheme_anchor_scores(p.residue_number[real].astype(np.int64),
+                                  p.oneletter[real], "light")
+    assert scores["chothia"] == scores["imgt"] == 1  # genuinely ambiguous
+
+    out = str(tmp_path / "out.pdb")
+    with pytest.warns(UserWarning, match="cannot separate"):
+        summary = renumber_pdb(tied, out, heavy_chain_id="H",
+                               light_chain_id="L", to_scheme="imgt")
+    # light chain untouched (treated as already-imgt), heavy converted
+    assert summary["L"]["from"] == "imgt"
+    p2 = parse_pdb(out)
+    sel2 = p2.chain_id_per_res == "L"
+    real2 = sel2 & p2.atom_mask.any(axis=1)
+    np.testing.assert_array_equal(p2.residue_number[real2],
+                                  p.residue_number[real])

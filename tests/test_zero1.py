@@ -118,3 +118,11 @@ def test_train_config_zero1_roundtrip():
 
     cfg = TrainConfig(zero1=True, mesh_shape=(2, 2, 2))
     assert TrainConfig.from_json(cfg.to_json()).zero1 is True
+
+
+def test_zero1_without_mesh_rejected(tmp_path):
+    from protstruc_tpu.train import TrainConfig, train
+
+    with pytest.raises(ValueError, match="mesh_shape"):
+        train(["x.pdb"], str(tmp_path / "ck"),
+              TrainConfig(zero1=True, mesh_shape=None))
