@@ -458,3 +458,70 @@ def test_ambiguous_detection_leaves_numbering_alone(tmp_path):
     real2 = sel2 & p2.atom_mask.any(axis=1)
     np.testing.assert_array_equal(p2.residue_number[real2],
                                   p.residue_number[real])
+
+
+def test_random_gaps_and_insertions_properties():
+    """Seeded fuzz over random interior gaps + insertion duplicates:
+
+    * framework residues (outside every CDR span) round-trip exactly,
+    * surviving anchor landmarks map to their cross-scheme positions,
+    * converted numbering stays nondecreasing (file order preserved),
+    * CDR membership is preserved (source-span residues map into the
+      target span).
+    """
+    from protstruc_tpu.numbering import (
+        _SEGMENTS, _span, SCHEME_ANCHOR_CYS)
+
+    rng = np.random.RandomState(7)
+    for trial in range(60):
+        ctype = ["heavy", "light"][trial % 2]
+        segments = _SEGMENTS[ctype]
+        top = _span(segments[-1], "chothia")[1]
+        nums = list(range(1, top + 1))
+        # random interior gaps (up to 12 positions)
+        drop = set(rng.choice(np.arange(2, top), size=rng.randint(0, 13),
+                              replace=False).tolist())
+        nums = [n for n in nums if n not in drop]
+        # random insertion duplicates (duplicate an existing number 0-3x)
+        for _ in range(rng.randint(0, 4)):
+            pos = int(rng.choice(nums))
+            nums.insert(nums.index(pos), pos)
+        nums = np.asarray(nums, dtype=np.int64)
+
+        imgt = convert_chain_numbering(nums, ctype, "chothia", "imgt")
+        back = convert_chain_numbering(imgt, ctype, "imgt", "chothia")
+
+        # monotone in file order
+        assert np.all(np.diff(imgt) >= 0), (trial, ctype)
+        assert np.all(np.diff(back) >= 0), (trial, ctype)
+
+        cdr_names = {"cdr1", "cdr2", "cdr3"}
+        loop_kc = [(s, _span(s, "chothia")) for s in segments
+                   if s[0] in cdr_names]
+        in_any_loop = np.zeros(nums.shape, bool)
+        for s, (lo, hi) in loop_kc:
+            sel = (nums >= lo) & (nums <= hi)
+            in_any_loop |= sel
+            # membership preserved into the imgt span
+            lo_t, hi_t = _span(s, "imgt")
+            assert np.all((imgt[sel] >= lo_t) & (imgt[sel] <= hi_t)), (
+                trial, ctype, s[0])
+
+        # frameworks round-trip exactly for uniquely-numbered residues
+        # (loops are length-filled; insertion DUPLICATES adjacent to a
+        # dropped position may legitimately spread into the free slot,
+        # so only unique source numbers are guaranteed exact)
+        _, counts = np.unique(nums, return_counts=True)
+        dup_values = set(np.unique(nums)[counts > 1].tolist())
+        unique_src = np.asarray([n not in dup_values for n in nums.tolist()])
+        fw = ~in_any_loop & unique_src
+        np.testing.assert_array_equal(back[fw], nums[fw],
+                                      err_msg=f"trial {trial} {ctype}")
+
+        # surviving anchor cysteines land on the imgt anchors
+        kc_cys = SCHEME_ANCHOR_CYS["chothia"][ctype]
+        imgt_cys = SCHEME_ANCHOR_CYS["imgt"][ctype]
+        for kc_pos, imgt_pos in zip(kc_cys, imgt_cys):
+            hit = np.nonzero(nums == kc_pos)[0]
+            if hit.size == 1:  # skip if dropped or duplicated
+                assert imgt[hit[0]] == imgt_pos, (trial, ctype, kc_pos)
