@@ -201,6 +201,7 @@ def cmd_train(args) -> int:
         node_dim=args.node_dim, pair_dim=args.pair_dim,
         n_blocks=args.blocks, n_recycle=args.recycle,
         sequence_only=args.sequence_only, learning_rate=args.lr,
+        accum_steps=args.accum,
         save_every=args.save_every, seed=args.seed, bf16=args.bf16,
         pair_update=args.pair_update, remat=args.remat,
         mesh_shape=(tuple(int(x) for x in args.mesh.split(","))
@@ -406,6 +407,9 @@ def main(argv=None) -> int:
                    help="dp,sp,tp device mesh, e.g. 4,2,1")
     t.add_argument("--zero1", action="store_true",
                    help="ZeRO-1: partition Adam moments over the dp axis")
+    t.add_argument("--accum", type=int, default=1,
+                   help="gradient-accumulation microbatches per optimizer "
+                        "step (effective batch = batch-size * accum)")
     t.add_argument("--crop", type=int, default=None, metavar="LEN",
                    help="train on random contiguous crops of LEN residues")
     t.add_argument("--eval", nargs="+", default=None, metavar="PDB",

@@ -47,6 +47,12 @@ class TrainConfig:
     sequence_only: bool = False   # train the sequence->structure path
     learning_rate: float = 3e-4
     grad_clip: float = 1.0
+    # gradient accumulation: each train step processes one microbatch of
+    # batch_size structures; the optimizer applies once every accum_steps
+    # microbatches (optax.MultiSteps).  Effective batch = batch_size *
+    # accum_steps at ~1/accum_steps the optimizer HBM traffic per
+    # microbatch — the standard lever when the target batch doesn't fit
+    accum_steps: int = 1
     save_every: int = 500
     seed: int = 0
     shuffle: bool = True
@@ -180,6 +186,8 @@ def train(
     model = _build_model(cfg)
     tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
                      optax.adamw(cfg.learning_rate))
+    if cfg.accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
 
     mesh = None
     if cfg.mesh_shape is not None:
@@ -202,9 +210,12 @@ def train(
     if latest_step(checkpoint_dir) is not None and os.path.exists(cfg_path):
         with open(cfg_path) as fh:
             existing = TrainConfig.from_json(fh.read())
+        # accum_steps shapes the OPT state (MultiSteps wraps the moment
+        # tree), so resuming across a change would fail in orbax — error
+        # loudly with the others
         shape_fields = ("node_dim", "pair_dim", "n_heads", "n_blocks",
                         "n_ipa_iter", "n_recycle", "sequence_only", "bf16",
-                        "pair_update")
+                        "pair_update", "accum_steps")
         diff = {f: (getattr(existing, f), getattr(cfg, f))
                 for f in shape_fields
                 if getattr(existing, f) != getattr(cfg, f)}
