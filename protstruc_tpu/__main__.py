@@ -202,6 +202,7 @@ def cmd_train(args) -> int:
         n_blocks=args.blocks, n_recycle=args.recycle,
         sequence_only=args.sequence_only, learning_rate=args.lr,
         accum_steps=args.accum,
+        lr_schedule=args.lr_schedule, warmup_steps=args.warmup,
         save_every=args.save_every, seed=args.seed, bf16=args.bf16,
         pair_update=args.pair_update, remat=args.remat,
         mesh_shape=(tuple(int(x) for x in args.mesh.split(","))
@@ -410,6 +411,11 @@ def main(argv=None) -> int:
     t.add_argument("--accum", type=int, default=1,
                    help="gradient-accumulation microbatches per optimizer "
                         "step (effective batch = batch-size * accum)")
+    t.add_argument("--lr-schedule", default="constant",
+                   choices=["constant", "warmup_cosine"],
+                   help="learning-rate schedule over optimizer steps")
+    t.add_argument("--warmup", type=int, default=0,
+                   help="linear warmup steps for --lr-schedule warmup_cosine")
     t.add_argument("--crop", type=int, default=None, metavar="LEN",
                    help="train on random contiguous crops of LEN residues")
     t.add_argument("--eval", nargs="+", default=None, metavar="PDB",

@@ -47,6 +47,15 @@ class TrainConfig:
     sequence_only: bool = False   # train the sequence->structure path
     learning_rate: float = 3e-4
     grad_clip: float = 1.0
+    # learning-rate schedule: "constant" (default) or "warmup_cosine"
+    # (linear warmup over warmup_steps to learning_rate, cosine decay to
+    # lr_min_ratio * learning_rate at cfg.steps).  The schedule is indexed
+    # by OPTIMIZER steps, so it composes with accum_steps (k microbatches
+    # advance it once) and with resume (the restored opt-state count
+    # continues the schedule where it left off).
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    lr_min_ratio: float = 0.1
     # gradient accumulation: each train step processes one microbatch of
     # batch_size structures; the optimizer applies once every accum_steps
     # microbatches (optax.MultiSteps).  Effective batch = batch_size *
@@ -184,8 +193,19 @@ def train(
             "state over the dp mesh axis — without a mesh it would be "
             "silently ignored")
     model = _build_model(cfg)
+    if cfg.lr_schedule == "constant":
+        lr = cfg.learning_rate
+    elif cfg.lr_schedule == "warmup_cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=cfg.learning_rate,
+            warmup_steps=max(cfg.warmup_steps, 1),
+            decay_steps=max(cfg.steps // max(cfg.accum_steps, 1), 1),
+            end_value=cfg.lr_min_ratio * cfg.learning_rate)
+    else:
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r} "
+                         "(constant | warmup_cosine)")
     tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
-                     optax.adamw(cfg.learning_rate))
+                     optax.adamw(lr))
     if cfg.accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
 

@@ -76,3 +76,31 @@ def test_accum_composes_with_mesh_and_zero1(tmp_path):
                       mesh_shape=(2, 2, 2), zero1=True)
     m = train([p, p], str(tmp_path / "ck"), cfg, log_fn=lambda *a: None)
     assert np.isfinite(m["final_loss"])
+
+
+def test_warmup_cosine_schedule(tmp_path):
+    """warmup_cosine trains end-to-end and the schedule is indexed by
+    optimizer steps (count advances once per accum cycle)."""
+    from protstruc_tpu.pdbio.writer import structure_batch_to_pdb
+    from protstruc_tpu.train import TrainConfig, train
+    from protstruc_tpu import StructureBatch
+
+    rng = np.random.RandomState(2)
+    L = 24
+    sb = StructureBatch.from_xyz(
+        rng.randn(1, L, 15, 3).astype(np.float32) * 3.0,
+        chain_idx=np.zeros((1, L)), chain_ids=[["A"]],
+        seq=[{"A": ("ACDEFGHIKLMNPQRSTVWY" * 2)[:L]}])
+    p = str(tmp_path / "s.pdb")
+    structure_batch_to_pdb(sb, p)
+
+    cfg = TrainConfig(steps=4, batch_size=1, accum_steps=2,
+                      lr_schedule="warmup_cosine", warmup_steps=1,
+                      node_dim=16, pair_dim=8, n_heads=2, n_blocks=1,
+                      n_ipa_iter=2, n_recycle=1, save_every=0, shuffle=False)
+    m = train([p], str(tmp_path / "ck"), cfg, log_fn=lambda *a: None)
+    assert np.isfinite(m["final_loss"])
+
+    with pytest.raises(ValueError, match="lr_schedule"):
+        train([p], str(tmp_path / "ck2"),
+              TrainConfig(lr_schedule="nope"), log_fn=lambda *a: None)
