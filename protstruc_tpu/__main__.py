@@ -203,6 +203,7 @@ def cmd_train(args) -> int:
         sequence_only=args.sequence_only, learning_rate=args.lr,
         accum_steps=args.accum,
         lr_schedule=args.lr_schedule, warmup_steps=args.warmup,
+        ema_decay=args.ema_decay,
         save_every=args.save_every, seed=args.seed, bf16=args.bf16,
         pair_update=args.pair_update, remat=args.remat,
         mesh_shape=(tuple(int(x) for x in args.mesh.split(","))
@@ -416,6 +417,9 @@ def main(argv=None) -> int:
                    help="learning-rate schedule over optimizer steps")
     t.add_argument("--warmup", type=int, default=0,
                    help="linear warmup steps for --lr-schedule warmup_cosine")
+    t.add_argument("--ema-decay", type=float, default=0.0,
+                   help="params EMA decay (e.g. 0.999; 0 = off); fold/serve "
+                        "then use the EMA weights")
     t.add_argument("--crop", type=int, default=None, metavar="LEN",
                    help="train on random contiguous crops of LEN residues")
     t.add_argument("--eval", nargs="+", default=None, metavar="PDB",

@@ -26,7 +26,7 @@ import json
 import os
 import time
 from functools import partial
-from typing import Optional, Sequence
+from typing import Any, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +56,13 @@ class TrainConfig:
     lr_schedule: str = "constant"
     warmup_steps: int = 0
     lr_min_ratio: float = 0.1
+    # exponential moving average of the params (0.0 = off).  The EMA tree
+    # rides inside the optimizer state (a terminal no-op transform), so
+    # checkpointing, resume and ZeRO-1 sharding need no special cases;
+    # load_fold_model returns the EMA weights when the checkpoint was
+    # trained with this on (the standard eval-quality lever for fold and
+    # diffusion models)
+    ema_decay: float = 0.0
     # gradient accumulation: each train step processes one microbatch of
     # batch_size structures; the optimizer applies once every accum_steps
     # microbatches (optax.MultiSteps).  Effective batch = batch_size *
@@ -102,6 +109,88 @@ class TrainConfig:
         if d.get("mesh_shape") is not None:
             d["mesh_shape"] = tuple(d["mesh_shape"])
         return cls(**d)
+
+
+class EmaParamsState(NamedTuple):
+    """State of :func:`_params_ema` — the EMA of the params themselves."""
+
+    ema: Any
+
+
+def _params_ema(decay: float):
+    """Terminal optax transform maintaining an EMA of the PARAMS.
+
+    Passes updates through unchanged; after each optimizer apply the state
+    tracks ``ema <- decay * ema + (1 - decay) * (params + updates)``.
+    Living inside the optimizer chain means the EMA tree is checkpointed,
+    restored, donated and ZeRO-sharded exactly like the Adam moments.
+    Under optax.MultiSteps it advances once per accumulation cycle (the
+    mid-cycle no-op updates are all-zero, which would otherwise decay the
+    EMA toward stale params — MultiSteps only calls the inner chain at
+    the apply step, so this composes correctly).
+    """
+    import optax
+
+    def init(params):
+        # copy, don't alias: the train step donates params AND opt_state —
+        # shared buffers would be donated twice on the first step
+        return EmaParamsState(
+            ema=jax.tree_util.tree_map(jnp.copy, params))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("_params_ema requires params")
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p,
+            state.ema, new_params)
+        return updates, EmaParamsState(ema=ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def _build_tx(cfg: TrainConfig):
+    """The production optimizer chain for ``cfg`` (shared with
+    load_fold_model, which rebuilds it as a restore template)."""
+    import optax
+
+    if cfg.lr_schedule == "constant":
+        lr = cfg.learning_rate
+    elif cfg.lr_schedule == "warmup_cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=cfg.learning_rate,
+            warmup_steps=max(cfg.warmup_steps, 1),
+            decay_steps=max(cfg.steps // max(cfg.accum_steps, 1), 1),
+            end_value=cfg.lr_min_ratio * cfg.learning_rate)
+    else:
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r} "
+                         "(constant | warmup_cosine)")
+    parts = [optax.clip_by_global_norm(cfg.grad_clip), optax.adamw(lr)]
+    if cfg.ema_decay > 0.0:
+        parts.append(_params_ema(cfg.ema_decay))
+    tx = optax.chain(*parts)
+    if cfg.accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
+    return tx
+
+
+def _find_ema(opt_state):
+    """Extract the EMA param tree from a (possibly wrapped) opt state."""
+    found = []
+
+    def walk(node):
+        if isinstance(node, EmaParamsState):
+            found.append(node.ema)
+            return
+        if isinstance(node, tuple):  # chain tuples + NamedTuples
+            for child in node:
+                walk(child)
+
+    walk(opt_state)
+    if len(found) != 1:
+        raise ValueError(f"expected exactly one EmaParamsState in the "
+                         f"optimizer state, found {len(found)}")
+    return found[0]
 
 
 def _build_model(cfg: TrainConfig):
@@ -193,21 +282,7 @@ def train(
             "state over the dp mesh axis — without a mesh it would be "
             "silently ignored")
     model = _build_model(cfg)
-    if cfg.lr_schedule == "constant":
-        lr = cfg.learning_rate
-    elif cfg.lr_schedule == "warmup_cosine":
-        lr = optax.warmup_cosine_decay_schedule(
-            init_value=0.0, peak_value=cfg.learning_rate,
-            warmup_steps=max(cfg.warmup_steps, 1),
-            decay_steps=max(cfg.steps // max(cfg.accum_steps, 1), 1),
-            end_value=cfg.lr_min_ratio * cfg.learning_rate)
-    else:
-        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r} "
-                         "(constant | warmup_cosine)")
-    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
-                     optax.adamw(lr))
-    if cfg.accum_steps > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
+    tx = _build_tx(cfg)
 
     mesh = None
     if cfg.mesh_shape is not None:
@@ -235,7 +310,7 @@ def train(
         # loudly with the others
         shape_fields = ("node_dim", "pair_dim", "n_heads", "n_blocks",
                         "n_ipa_iter", "n_recycle", "sequence_only", "bf16",
-                        "pair_update", "accum_steps")
+                        "pair_update", "accum_steps", "ema_decay")
         diff = {f: (getattr(existing, f), getattr(cfg, f))
                 for f in shape_fields
                 if getattr(existing, f) != getattr(cfg, f)}
@@ -350,8 +425,14 @@ def train(
     return result
 
 
-def load_fold_model(checkpoint_dir: str):
-    """Rebuild (model, params, cfg) from a training checkpoint dir."""
+def load_fold_model(checkpoint_dir: str, use_ema: bool = True):
+    """Rebuild (model, params, cfg) from a training checkpoint dir.
+
+    When the checkpoint was trained with ``ema_decay > 0`` (the EMA tree
+    rides inside the optimizer state), the returned params are the EMA
+    weights — the standard inference choice; pass ``use_ema=False`` for
+    the raw last-step params.
+    """
     from protstruc_tpu.models.checkpoint import restore_train_state
     from protstruc_tpu.models.trfold import featurize_from_sequence
 
@@ -373,6 +454,12 @@ def load_fold_model(checkpoint_dir: str):
     dummy = featurize_from_sequence(
         jnp.zeros((1, 8), jnp.int32), n_dist_bins=model.trunk_cfg.n_dist_bins)
     params_like = model.init(jax.random.PRNGKey(0), dummy)["params"]
+    if use_ema and cfg.ema_decay > 0.0:
+        opt_like = _build_tx(cfg).init(params_like)
+        _, opt_state, step = restore_train_state(
+            checkpoint_dir, params_like=params_like,
+            opt_state_like=opt_like)
+        return model, _find_ema(opt_state), cfg
     params, _, step = restore_train_state(checkpoint_dir,
                                           params_like=params_like)
     return model, params, cfg
