@@ -191,10 +191,14 @@ class StructureBatch:
         return cls._from_parsed(parse_pdb_files(paths))
 
     @classmethod
-    def _from_parsed(cls, parsed) -> "StructureBatch":
-        """Pad a list of parsed single structures into one batch."""
+    def _from_parsed(cls, parsed, target_length=None) -> "StructureBatch":
+        """Pad a list of parsed single structures into one batch.
+
+        ``target_length`` pads to a fixed residue count (bucketed data
+        loading, pdbio/dataset.py) instead of the batch max.
+        """
         bsz = len(parsed)
-        max_l = max(p.n_residues for p in parsed)
+        max_l = target_length or max(p.n_residues for p in parsed)
         A = MAX_N_ATOMS_PER_RESIDUE
 
         xyz = np.zeros((bsz, max_l, A, 3), dtype=np.float32)
@@ -294,11 +298,21 @@ class StructureBatch:
         tor[..., 0], tor[..., 1], tor[..., 2] = phi, psi, omega
 
         base = cls.from_dihedrals(tor)
-        atom_mask = np.array(base.atom_mask)  # writable copy
+        # ragged padding rows must carry the class invariants (PAD_IDX in
+        # the int fields, not 0/arange): otherwise the shorter structures'
+        # true C-termini go undetected (chain_idx 0 == 0 across the
+        # boundary) and get_chain_mask matches padding as chain code 0
+        atom_mask = np.array(base.atom_mask)  # writable copies
+        chain_idx = np.array(base.chain_idx)
+        residue_idx = np.array(base.residue_idx)
         for i, s in enumerate(seqs):
             atom_mask[i, len(s):] = False
+            chain_idx[i, len(s):] = PAD_IDX
+            residue_idx[i, len(s):] = PAD_IDX
         return base.replace(
             atom_mask=jnp.asarray(atom_mask),
+            chain_idx=jnp.asarray(chain_idx),
+            residue_idx=jnp.asarray(residue_idx),
             chain_ids=_freeze_chain_ids([["A"]] * bsz),
             seq=_freeze_seq([{"A": s} for s in seqs]),
         )
@@ -863,7 +877,11 @@ class StructureBatch:
         if mask is not None:
             valid = valid & jnp.asarray(mask, dtype=bool)
         big = jnp.asarray(1e9, dist.dtype)
-        dist = jnp.where(valid, dist, big)
+        # residues with atoms but no CA produce NaN distances, and NaN
+        # sorts ABOVE every value in top_k's total order — it would steal
+        # k-slots from genuinely nearest residues; send them to the
+        # excluded band instead
+        dist = jnp.where(valid & jnp.isfinite(dist), dist, big)
 
         k = min(k, self.n_residues)
         neg_top, idx = jax.lax.top_k(-dist, k)  # smallest k distances
@@ -903,6 +921,13 @@ class StructureBatch:
             residue_idx=self.residue_idx[:, sel],
             chain_ids=self.chain_ids,
             seq=self.seq,
+            # standardization state survives selection (mu/std are (B, 3)
+            # per-structure): dropping it would leave standardized
+            # coordinates flagged raw — unstandardize() would refuse and
+            # a second standardize() would silently double-transform
+            mu=self.mu,
+            std=self.std,
+            standardized=self.standardized,
         )
 
     def random_crop(self, key: jax.Array, size: int, extras=()):

@@ -446,8 +446,12 @@ def fape_loss(
         r, t = frames
         r_inv = jnp.swapaxes(r, -2, -1)
         x = xyz.reshape(B, L * A, 3)
-        rot = jnp.einsum("bixy,bjy->bijx", r_inv, x)
-        shift = jnp.einsum("bixy,biy->bix", r_inv, t)
+        # coordinate path: pin full precision — on TPU the default runs
+        # bf16 and the ground-truth side (pure geometry) would pick up
+        # ~0.4% coordinate error inside the sub-angstrom clamp regime
+        # (same class as the align() bug in memory/tpu-matmul-precision)
+        rot = jnp.einsum("bixy,bjy->bijx", r_inv, x, precision="highest")
+        shift = jnp.einsum("bixy,biy->bix", r_inv, t, precision="highest")
         return rot - shift[:, :, None]
 
     lp = all_local(pred_frames, pred_xyz)

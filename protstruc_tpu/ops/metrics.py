@@ -17,7 +17,11 @@ __all__ = ["rmsd", "superimpose", "tm_score", "gdt_ts", "lddt",
 
 
 def _masked_mean(x, w, axis):
+    # double-where, not x*w: NaN residuals at masked positions (the
+    # library's NaN-for-missing-atoms convention, CLAUDE.md) would poison
+    # the sum via NaN * 0 = NaN even though every NaN entry is masked out
     w = w.astype(x.dtype)
+    x = jnp.where(w > 0, x, 0.0)
     return jnp.sum(x * w, axis=axis) / jnp.maximum(jnp.sum(w, axis=axis), 1.0)
 
 
@@ -163,35 +167,71 @@ def lddt(
 # ---------------------------------------------------------------------------
 
 
-def _min_interchain_dist(xyz, atom_mask, rec_mask, lig_mask):
+def _min_interchain_dist(xyz, atom_mask, rec_mask, lig_mask,
+                         row_block: int = 32):
     """Per residue-pair minimum heavy-atom distance between the two groups.
 
     ``xyz (B, L, A, 3)`` -> ``(B, L, L)`` with +inf where either residue is
     outside its group or atoms are missing.
+
+    Never materializes the ``(B, L, L, A, A)`` tensor (the library-wide
+    design rule, batch.py): rows are processed in blocks of ``row_block``
+    with an ``lax.fori_loop`` over the i-side atom slot, so peak memory is
+    O(B * row_block * L * A) — 225x below the naive form at A=15.
     """
+    from jax import lax
+
     ok = atom_mask & jnp.isfinite(xyz).all(-1)
     x = jnp.nan_to_num(xyz, nan=0.0)
-    d2 = jnp.sum(
-        (x[:, :, None, :, None, :] - x[:, None, :, None, :, :]) ** 2, axis=-1
-    )  # (B, L, L, A, A)
-    # pairs where either atom is missing are no contact (masking the pair,
-    # not parking coordinates — two parked atoms would sit 0 A apart)
-    atom_pair_ok = ok[:, :, None, :, None] & ok[:, None, :, None, :]
-    d2 = jnp.where(atom_pair_ok, d2, jnp.inf)
-    d = jnp.sqrt(jnp.min(d2, axis=(-2, -1)))
+    B, L, A = x.shape[:3]
+    nb = -(-L // row_block)
+    pad = nb * row_block - L
+    # padded rows carry ok=False -> +inf rows, sliced off at the end
+    x_p = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    ok_p = jnp.pad(ok, ((0, 0), (0, pad), (0, 0)))
+    x_r = x_p.reshape(B, nb, row_block, A, 3).transpose(1, 0, 2, 3, 4)
+    ok_r = ok_p.reshape(B, nb, row_block, A).transpose(1, 0, 2, 3)
+
+    def one_block(args):
+        xi, oki = args  # (B, blk, A, 3), (B, blk, A)
+
+        def body(a, acc):
+            xa = xi[:, :, a]  # (B, blk, 3)
+            d2 = jnp.sum(
+                (xa[:, :, None, None, :] - x[:, None, :, :, :]) ** 2,
+                axis=-1)  # (B, blk, L, A)
+            # pairs where either atom is missing are no contact (masking
+            # the pair, not parking coordinates — two parked atoms would
+            # sit 0 A apart)
+            pair_ok = oki[:, :, a][:, :, None, None] & ok[:, None, :, :]
+            d2 = jnp.where(pair_ok, d2, jnp.inf)
+            return jnp.minimum(acc, jnp.min(d2, axis=-1))
+
+        acc0 = jnp.full((B, xi.shape[1], L), jnp.inf, x.dtype)
+        return lax.fori_loop(0, A, body, acc0)
+
+    d2_min = lax.map(one_block, (x_r, ok_r))  # (nb, B, blk, L)
+    d2_min = d2_min.transpose(1, 0, 2, 3).reshape(B, nb * row_block, L)[:, :L]
+    d = jnp.sqrt(d2_min)
     pair_ok = rec_mask[:, :, None] & lig_mask[:, None, :]
     return jnp.where(pair_ok, d, jnp.inf)
 
 
 def fnat(model_xyz, native_xyz, atom_mask, rec_mask, lig_mask,
-         cutoff: float = 5.0) -> jnp.ndarray:
+         cutoff: float = 5.0, d_nat=None, d_mod=None) -> jnp.ndarray:
     """Fraction of native inter-chain contacts preserved in the model.
 
     A contact is a receptor-ligand residue pair with any heavy-atom pair
     within ``cutoff`` A (the DockQ definition).  Returns ``(B,)``.
+    ``d_nat``/``d_mod``: optional precomputed min-interchain distance maps
+    (dockq() shares one computation across its components).
     """
-    d_nat = _min_interchain_dist(native_xyz, atom_mask, rec_mask, lig_mask)
-    d_mod = _min_interchain_dist(model_xyz, atom_mask, rec_mask, lig_mask)
+    if d_nat is None:
+        d_nat = _min_interchain_dist(native_xyz, atom_mask, rec_mask,
+                                     lig_mask)
+    if d_mod is None:
+        d_mod = _min_interchain_dist(model_xyz, atom_mask, rec_mask,
+                                     lig_mask)
     native_contacts = d_nat < cutoff
     kept = native_contacts & (d_mod < cutoff)
     n = jnp.maximum(jnp.sum(native_contacts, axis=(1, 2)), 1)
@@ -199,7 +239,7 @@ def fnat(model_xyz, native_xyz, atom_mask, rec_mask, lig_mask,
 
 
 def interface_rmsd(model_xyz, native_xyz, atom_mask, rec_mask, lig_mask,
-                   cutoff: float = 10.0) -> jnp.ndarray:
+                   cutoff: float = 10.0, d_nat=None) -> jnp.ndarray:
     """Backbone RMSD over native-interface residues after superposition.
 
     Interface = residues of either group with any heavy atom within
@@ -207,7 +247,9 @@ def interface_rmsd(model_xyz, native_xyz, atom_mask, rec_mask, lig_mask,
     definition); RMSD over their N/CA/C/O atoms after mask-weighted Kabsch
     on the same set.  Returns ``(B,)``.
     """
-    d_nat = _min_interchain_dist(native_xyz, atom_mask, rec_mask, lig_mask)
+    if d_nat is None:
+        d_nat = _min_interchain_dist(native_xyz, atom_mask, rec_mask,
+                                     lig_mask)
     contact = d_nat < cutoff
     iface = (
         (contact.any(axis=2) & rec_mask)
@@ -233,8 +275,14 @@ def dockq(model_xyz, native_xyz, atom_mask, rec_mask, lig_mask) -> jnp.ndarray:
     LRMS the ligand backbone RMSD after superposition on the receptor
     backbone.  Quality bands: >0.23 acceptable, >0.49 medium, >0.80 high.
     """
-    f = fnat(model_xyz, native_xyz, atom_mask, rec_mask, lig_mask)
-    irms = interface_rmsd(model_xyz, native_xyz, atom_mask, rec_mask, lig_mask)
+    # one min-interchain distance map per structure, shared by fnat and
+    # the interface definition (was recomputed 3x)
+    d_nat = _min_interchain_dist(native_xyz, atom_mask, rec_mask, lig_mask)
+    d_mod = _min_interchain_dist(model_xyz, atom_mask, rec_mask, lig_mask)
+    f = fnat(model_xyz, native_xyz, atom_mask, rec_mask, lig_mask,
+             d_nat=d_nat, d_mod=d_mod)
+    irms = interface_rmsd(model_xyz, native_xyz, atom_mask, rec_mask,
+                          lig_mask, d_nat=d_nat)
 
     # LRMS: superpose on receptor backbone, measure ligand backbone
     B, L = rec_mask.shape

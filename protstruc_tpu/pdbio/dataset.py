@@ -80,38 +80,12 @@ class StructureDataset:
 
     def _assemble(self, group):
         """Pad a list of ParsedStructure into one StructureBatch at the
-        group's bucket length."""
-        import jax.numpy as jnp
+        group's bucket length (single pad-and-stack implementation:
+        StructureBatch._from_parsed)."""
+        from protstruc_tpu.batch import StructureBatch
 
-        from protstruc_tpu.batch import PAD_IDX, StructureBatch, _freeze_chain_ids, _freeze_seq
-        from protstruc_tpu.constants import MAX_N_ATOMS_PER_RESIDUE
-
-        bsz = len(group)
         max_l = bucket_length(max(p.n_residues for p in group), self.buckets)
-        A = MAX_N_ATOMS_PER_RESIDUE
-
-        xyz = np.zeros((bsz, max_l, A, 3), dtype=np.float32)
-        atom_mask = np.zeros((bsz, max_l, A), dtype=bool)
-        chain_idx = np.full((bsz, max_l), PAD_IDX, dtype=np.int32)
-        residue_idx = np.full((bsz, max_l), PAD_IDX, dtype=np.int32)
-        chain_ids, seqs = [], []
-        for i, p in enumerate(group):
-            n = p.n_residues
-            xyz[i, :n] = p.atom_xyz
-            atom_mask[i, :n] = p.atom_mask
-            chain_idx[i, :n] = p.chain_idx
-            residue_idx[i, :n] = p.residue_idx
-            chain_ids.append(p.chain_order)
-            seqs.append(p.seq_dict())
-
-        return StructureBatch(
-            xyz=jnp.asarray(xyz),
-            atom_mask=jnp.asarray(atom_mask),
-            chain_idx=jnp.asarray(chain_idx),
-            residue_idx=jnp.asarray(residue_idx),
-            chain_ids=_freeze_chain_ids(chain_ids),
-            seq=_freeze_seq(seqs),
-        )
+        return StructureBatch._from_parsed(group, target_length=max_l)
 
     def __iter__(self) -> Iterator:
         from protstruc_tpu.pdbio.parser import parse_pdb
@@ -122,6 +96,21 @@ class StructureDataset:
         out: "queue.Queue" = queue.Queue(maxsize=max(self.prefetch, 1))
         _END = object()
         error: List[BaseException] = []
+        # abandoning iteration mid-epoch (break / GeneratorExit) must not
+        # leave the producer blocked forever on a full queue — that leaks
+        # the thread, its parser pool and `prefetch` device-resident
+        # batches per abandoned epoch.  The producer only ever puts via
+        # this stop-aware loop, and the generator's finally sets the flag.
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    out.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
@@ -129,29 +118,35 @@ class StructureDataset:
                 pending[None] = []  # beyond-table lengths
                 with ThreadPoolExecutor(self.n_workers) as pool:
                     for parsed in pool.map(parse_pdb, paths):
+                        if stop.is_set():
+                            return
                         b = bucket_length(parsed.n_residues, self.buckets)
                         key = b if b in pending else None
                         pending[key].append(parsed)
                         if len(pending[key]) == self.batch_size:
-                            out.put(self._assemble(pending[key]))
+                            if not _put(self._assemble(pending[key])):
+                                return
                             pending[key] = []
                 if not self.drop_remainder:
                     for group in pending.values():
-                        if group:
-                            out.put(self._assemble(group))
+                        if group and not _put(self._assemble(group)):
+                            return
             except BaseException as e:  # surface in consumer
                 error.append(e)
             finally:
-                out.put(_END)
+                _put(_END)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
 
-        while True:
-            item = out.get()
-            if item is _END:
-                break
-            yield item
-        t.join()
-        if error:
-            raise error[0]
+        try:
+            while True:
+                item = out.get()
+                if item is _END:
+                    break
+                yield item
+            t.join()
+            if error:
+                raise error[0]
+        finally:
+            stop.set()

@@ -395,3 +395,61 @@ def test_seq_idx():
     )
     idx = np.asarray(sb.get_seq_idx())
     assert idx.tolist() == [[0, 1, 2, 19, 20, 20]]  # A C D Y UNK UNK
+
+
+# ---------------------------------------------------------------------------
+# round-4 review regressions
+# ---------------------------------------------------------------------------
+
+
+def test_from_sequence_ragged_padding_invariants():
+    """Ragged from_sequence padding must carry PAD_IDX in the int fields:
+    the short structure's true C-terminus is detected and chain masks
+    exclude padding."""
+    from protstruc_tpu.batch import PAD_IDX
+
+    sb = StructureBatch.from_sequence(["AAAA", "AA"])
+    ci = np.asarray(sb.chain_idx)
+    ri = np.asarray(sb.residue_idx)
+    assert (ci[1, 2:] == PAD_IDX).all() and (ri[1, 2:] == PAD_IDX).all()
+
+    cterm = np.asarray(sb.get_c_terminal_mask())
+    assert cterm[0].nonzero()[0].tolist() == [3]
+    assert cterm[1].nonzero()[0].tolist() == [1]  # was missed with 0-pad
+
+    chain_mask = np.asarray(sb.get_chain_mask("A"))
+    assert not chain_mask[1, 2:].any()  # padding excluded
+
+    # psi/omega at the short structure's C-term are masked invalid
+    _, dmask = sb.backbone_dihedrals()
+    dmask = np.asarray(dmask)
+    assert not dmask[1, 1, 1] and not dmask[1, 1, 2]
+
+
+def test_residue_masked_select_preserves_standardization():
+    rng = np.random.RandomState(0)
+    sb = StructureBatch.from_xyz(rng.randn(1, 8, 15, 3).astype(np.float32))
+    std = sb.standardize()
+    mask = np.zeros((1, 8), bool)
+    mask[0, :5] = True
+    sel = std.residue_masked_select(mask)
+    assert sel.standardized
+    # unstandardize round-trips through the carried statistics
+    back = sel.unstandardize()
+    expect = np.asarray(sb.xyz)[0, :5]
+    np.testing.assert_allclose(np.asarray(back.xyz)[0], expect, atol=1e-4)
+
+
+def test_topk_nearest_ignores_residues_without_ca():
+    """Residues with atoms but no CA (NaN distance) must not steal top-k
+    slots: NaN sorts above everything in lax.top_k."""
+    rng = np.random.RandomState(1)
+    xyz = rng.randn(1, 6, 15, 3).astype(np.float32)
+    atom_mask = np.ones((1, 6, 15), bool)
+    # residue 0: CA missing (NaN coords) but other atoms present
+    xyz[0, 0, 1] = np.nan
+    sb = StructureBatch.from_xyz(xyz, atom_mask)
+    out = np.asarray(sb.get_topk_nearest_residue_mask(
+        np.zeros((1, 1, 3), np.float32), k=3))
+    assert out.sum() == 3
+    assert not out[0, 0]  # the CA-less residue is excluded, not picked

@@ -58,3 +58,24 @@ def test_dataset_batches_featurize():
     d, m = batch.backbone_dihedrals()
     assert d.shape == (2, 256, 3)
     assert sorted(np.asarray(batch.get_total_lengths()).tolist()) == [130, 184]
+
+
+def test_abandoned_iteration_does_not_leak_producer(tmp_path):
+    """Breaking out of iteration mid-epoch unblocks the producer thread
+    (it must not sit forever in queue.put holding prefetched batches)."""
+    import threading
+    import time
+
+    from tests.conftest import pdb_path
+
+    paths = [pdb_path("1REX.pdb")] * 6
+    ds = StructureDataset(paths, batch_size=1, prefetch=1)
+    before = threading.active_count()
+    for batch in ds:
+        break  # abandon immediately; producer is blocked on a full queue
+    deadline = time.time() + 10.0
+    while time.time() < deadline:
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.2)
+    assert threading.active_count() <= before, "producer thread leaked"

@@ -62,3 +62,26 @@ def test_metrics_jit():
     b = _rigid(a)
     assert float(jax.jit(rmsd)(a, b)) < 1e-4
     assert float(jax.jit(tm_score)(a, b)) > 0.99
+
+
+def test_rmsd_tm_nan_at_masked_positions():
+    """NaN coordinates at masked positions (the library's missing-atom
+    convention) must not poison rmsd/tm_score/superimpose."""
+    import jax.numpy as jnp
+
+    from protstruc_tpu.ops.metrics import rmsd, superimpose, tm_score
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(1, 10, 3).astype(np.float32)
+    b = a.copy()
+    mask = np.ones((1, 10), bool)
+    a[0, 3] = np.nan  # masked-out missing atom
+    b[0, 3] = np.nan
+    mask[0, 3] = False
+
+    r = float(np.asarray(rmsd(a, b, mask=mask)))
+    assert np.isfinite(r) and r < 1e-4
+    t = float(np.asarray(tm_score(a, b, mask=mask)))
+    assert np.isfinite(t) and t > 0.99
+    _, r2 = superimpose(a, b, mask=mask)
+    assert np.isfinite(float(np.asarray(r2)))
