@@ -189,8 +189,14 @@ def main():
         "modes": {},
     }
     for mode in modes:
-        log(f"=== mode: {mode} ===")
-        report["modes"][mode] = run_mode(mode, steps, ck_root)
+        # "mode=steps" overrides the step budget per mode (train() treats
+        # steps as the TOTAL target, so reruns resume-and-complete)
+        steps_m = steps
+        if "=" in mode:
+            mode, s = mode.split("=")
+            steps_m = int(s)
+        log(f"=== mode: {mode} ({steps_m} steps) ===")
+        report["modes"][mode] = run_mode(mode, steps_m, ck_root)
         # checkpoint partial progress so a crash still leaves an artifact
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
         with open(out_path, "w") as fh:

@@ -1,10 +1,11 @@
 #!/bin/bash
-# Round-4 TPU job queue: wait for the axon relay to come back, then
-# (1) finish the sequence_triangle generalization run (resumes from its
-#     checkpoint), (2) extend structure_triangle by 8000 more steps (the
-#     4000-step eval curve was still rising: 0.49 @ 3500 -> 0.59 @ 4000).
-# Each job retries through transient relay failures; checkpoints make
-# every retry a resume, not a restart.
+# Round-4 TPU job queue: wait for the axon relay to come back, then retrain
+# the triangle generalization runs FRESH (their earlier checkpoints carry
+# the pre-fix torsion-mask interleave bug, models/trfold.py embed), with
+# structure_triangle extended to a 12k-step budget (its 4k eval curve was
+# still rising: 0.49 @ 3500 -> 0.59 @ 4000).
+# train() treats steps as the TOTAL target, so a retry after a transient
+# relay failure resumes from the latest checkpoint and completes the run.
 set -u
 cd /root/repo
 
@@ -22,21 +23,18 @@ wait_relay() {
   echo "[queue] relay up $(date -u +%H:%M:%S)"
 }
 
-run_job() { # args: steps out_json mode
-  for attempt in 1 2 3 4 5; do
-    wait_relay
-    echo "[queue] job $3 attempt $attempt $(date -u +%H:%M:%S)"
-    if timeout 7200 python experiments/fold_generalization.py "$1" "$2" "$3"; then
-      echo "[queue] job $3 DONE"
-      return 0
-    fi
-    echo "[queue] job $3 failed (attempt $attempt)"
-    sleep 60
-  done
-  echo "[queue] job $3 GAVE UP"
-  return 1
-}
+rm -rf out/fold_generalization_r4/structure_triangle \
+       out/fold_generalization_r4/sequence_triangle
 
-run_job 4000 /tmp/seq_tri_result.json sequence_triangle
-run_job 8000 /tmp/struct_tri_ext.json structure_triangle
-echo "[queue] all jobs finished $(date -u +%H:%M:%S)"
+for attempt in 1 2 3 4 5 6; do
+  wait_relay
+  echo "[queue] generalization attempt $attempt $(date -u +%H:%M:%S)"
+  if timeout 14000 python experiments/fold_generalization.py 4000 \
+      /tmp/gen_r4b.json structure_triangle=12000 sequence_triangle; then
+    echo "[queue] generalization DONE"
+    break
+  fi
+  echo "[queue] attempt $attempt failed"
+  sleep 60
+done
+echo "[queue] finished $(date -u +%H:%M:%S)"

@@ -93,7 +93,10 @@ class InverseFold(nn.Module):
         tor = jnp.concatenate(
             [jnp.sin(feats["torsions"]), jnp.cos(feats["torsions"])], axis=-1
         )
-        tor = jnp.where(jnp.repeat(feats["torsion_mask"], 2, -1), tor, 0.0)
+        # mask mirrors the concatenate([sin, cos]) layout — repeat() would
+        # interleave and mask the wrong channels at chain termini
+        tm = feats["torsion_mask"]
+        tor = jnp.where(jnp.concatenate([tm, tm], axis=-1), tor, 0.0)
         frames_flat = feats["frames"].reshape(feats["frames"].shape[:2] + (9,))
         node_in = jnp.concatenate([tor, frames_flat], axis=-1).astype(cfg.dtype)
         node = nn.Dense(cfg.node_dim, name="node_in", dtype=cfg.dtype)(node_in)

@@ -405,19 +405,26 @@ class TrFold(nn.Module):
 
         # node embedding: sequence + torsion sin/cos
         node = self.seq_embed(feats["seq_idx"])
+        # mask layout must mirror the FEATURE layout: concatenate([sin,
+        # cos]) is [sin_phi, sin_psi, sin_omega, cos_phi, ...], so the
+        # mask doubles by concatenation too — repeat() would interleave
+        # [m_phi, m_phi, m_psi, ...] and zero/leak the wrong channels at
+        # every chain terminus
         tor = jnp.concatenate(
             [jnp.sin(feats["torsions"]), jnp.cos(feats["torsions"])], axis=-1
         )
+        tm = feats["torsion_mask"]
         tor = jnp.where(
-            jnp.repeat(feats["torsion_mask"], 2, axis=-1), tor, 0.0
+            jnp.concatenate([tm, tm], axis=-1), tor, 0.0
         ).astype(cfg.dtype)
         node = node + self.torsion_embed(tor)
         if "chi" in feats:
             chi_sc = jnp.concatenate(
                 [jnp.sin(feats["chi"]), jnp.cos(feats["chi"])], axis=-1
             )
+            cm = feats["chi_mask"]
             chi_sc = jnp.where(
-                jnp.repeat(feats["chi_mask"], 2, axis=-1), chi_sc, 0.0
+                jnp.concatenate([cm, cm], axis=-1), chi_sc, 0.0
             ).astype(cfg.dtype)
             node = node + self.chi_embed(chi_sc)
 

@@ -16,7 +16,8 @@ Design (TPU):
 * checkpoints carry the model config (config.json) next to the orbax
   state, so ``fold`` can rebuild the model without the training script.
 * resume is automatic: if the checkpoint dir has a step, training
-  continues from it.
+  continues from it up to the TOTAL ``steps`` target (a crash-recovery
+  rerun completes the configured run; pass a larger ``steps`` to extend).
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ import dataclasses
 import json
 import os
 import time
+import functools
 from functools import partial
 from typing import Any, NamedTuple, Optional, Sequence
 
@@ -157,10 +159,16 @@ def _build_tx(cfg: TrainConfig):
     if cfg.lr_schedule == "constant":
         lr = cfg.learning_rate
     elif cfg.lr_schedule == "warmup_cosine":
+        # both durations in OPTIMIZER steps: cfg.steps and warmup_steps
+        # are microbatch-denominated, the schedule is advanced once per
+        # accum cycle — mixing units would make warmup accum_steps-times
+        # longer than configured (and crash optax when it exceeds decay)
+        accum = max(cfg.accum_steps, 1)
+        decay = max(cfg.steps // accum, 2)
+        warm = min(max(cfg.warmup_steps // accum, 1), decay - 1)
         lr = optax.warmup_cosine_decay_schedule(
             init_value=0.0, peak_value=cfg.learning_rate,
-            warmup_steps=max(cfg.warmup_steps, 1),
-            decay_steps=max(cfg.steps // max(cfg.accum_steps, 1), 1),
+            warmup_steps=warm, decay_steps=decay,
             end_value=cfg.lr_min_ratio * cfg.learning_rate)
     else:
         raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r} "
@@ -233,6 +241,16 @@ def _featurize(batch, cfg: TrainConfig, trunk_cfg, key=None):
     return feats, target, batch
 
 
+@functools.lru_cache(maxsize=8)
+def _jitted_apply(model):
+    """Per-model jitted forward (flax Modules hash by config) — an eager
+    apply would dispatch the trunk op-by-op, and on the remote-relay TPU
+    each eager op is a tunnel round trip; eval shapes are bucketed so the
+    jit cache stays small."""
+    return jax.jit(lambda params, feats: model.apply({"params": params},
+                                                     feats))
+
+
 def evaluate(model, params, paths: Sequence[str], cfg: TrainConfig) -> dict:
     """Held-out structure metrics: mean CA-lDDT and aligned CA-RMSD."""
     import numpy as np
@@ -244,7 +262,7 @@ def evaluate(model, params, paths: Sequence[str], cfg: TrainConfig) -> dict:
     for batch in StructureDataset(list(paths), batch_size=cfg.batch_size,
                                   shuffle=False):
         feats, _target, batch = _featurize(batch, cfg, model.trunk_cfg)
-        out = model.apply({"params": params}, feats)
+        out = _jitted_apply(model)(params, feats)
         ca_true = jnp.nan_to_num(batch.xyz[:, :, 1], nan=1e6)
         mask = batch.residue_mask & jnp.isfinite(batch.xyz[:, :, 1]).all(-1)
         ls.append(np.asarray(lddt(out["xyz"][:, :, 1], ca_true, mask=mask)))
@@ -346,7 +364,12 @@ def train(
     t0 = time.perf_counter()
     step = 0
     losses = []
-    while step < cfg.steps + start_step or params is None:
+    # cfg.steps is the TOTAL step target: a crash-recovery rerun of the
+    # same command completes to the configured total instead of training
+    # cfg.steps more (which would also leave warmup_cosine resumes
+    # running entirely at the floor LR past the schedule end).  To EXTEND
+    # a finished run, pass a larger steps with the same shape config.
+    while step < cfg.steps or params is None:
         for batch in ds:
             if mesh is not None:
                 from protstruc_tpu.parallel.mesh import shard_batch
@@ -378,6 +401,10 @@ def train(
                         opt_state_like=opt_state)
                     step = start_step
                     log_fn(f"[train] resumed from step {start_step}")
+                    if step >= cfg.steps:
+                        log_fn(f"[train] checkpoint already at step {step} "
+                               f">= steps={cfg.steps}; nothing to train")
+                        break
             if cfg.profile_dir and step - start_step == 3:
                 jax.profiler.start_trace(cfg.profile_dir)
             t_step = time.perf_counter()
@@ -409,19 +436,21 @@ def train(
                         with open(os.path.join(checkpoint_dir,
                                                "metrics.jsonl"), "a") as fh:
                             fh.write(json.dumps(dict(ev, step=step)) + "\n")
-            if step >= cfg.steps + start_step:
+            if step >= cfg.steps:
                 break
 
     save_train_state(checkpoint_dir, step, params, opt_state)
     dt = time.perf_counter() - t0
-    result = {"steps": step, "final_loss": losses[-1], "seconds": dt}
+    # losses is empty when the checkpoint was already at/past the target
+    final_loss = losses[-1] if losses else None
+    result = {"steps": step, "final_loss": final_loss, "seconds": dt}
     if eval_paths:
         result.update(evaluate(model, params, eval_paths, cfg))
         log_fn("[eval] final: " + " ".join(
             f"{k}={v:.3f}" for k, v in result.items() if k.startswith("eval")))
     log_fn(f"[train] done: {step - start_step} steps in {dt:.0f}s "
-           f"({dt / max(step - start_step, 1) * 1e3:.0f} ms/step), "
-           f"final loss {losses[-1]:.4f}")
+           f"({dt / max(step - start_step, 1) * 1e3:.0f} ms/step)"
+           + (f", final loss {final_loss:.4f}" if losses else ""))
     return result
 
 
@@ -482,11 +511,6 @@ def fold_sequence(
     (L, L))`` — per-residue predicted lDDT in [0, 100] and the predicted
     aligned-error matrix in angstroms (the model's own calibration heads).
     """
-    from protstruc_tpu import geometry as geom
-    from protstruc_tpu.models.ipa import pae_from_logits, plddt_from_logits
-    from protstruc_tpu.models.trfold import featurize_from_sequence
-    from protstruc_tpu.vocab import ressymb_to_resindex
-
     model, params, cfg = load_fold_model(checkpoint_dir)
     return fold_with_model(model, params, cfg, sequence,
                            n_recycle=n_recycle,

@@ -67,16 +67,33 @@ def concat_batches(batches, buckets: Sequence[int] = DEFAULT_BUCKETS):
         chain_ids=chain_ids,
         seq=seq,
     )
-    if getattr(first, "residue_masks", None):
-        if not all(getattr(b, "residue_masks", None) for b in padded):
+    # antibody batches: either ALL inputs carry residue_masks or none —
+    # a plain first batch must not silently discard later batches' masks
+    have_masks = [bool(getattr(b, "residue_masks", None)) for b in padded]
+    if any(have_masks):
+        if not all(have_masks):
             raise ValueError("cannot concat antibody batches with plain batches")
         out = out.replace(
             residue_masks={
                 k: jnp.concatenate([b.residue_masks[k] for b in padded], axis=0)
                 for k in first.residue_masks
-            }
+            },
+            # per-structure static metadata (length-B tuples) concatenates
+            # alongside B — keeping the first batch's tuple would leave
+            # get_heavy_chain_id() one entry short per appended structure
+            heavy_chain_id=_cat_tuples(padded, "heavy_chain_id"),
+            light_chain_id=_cat_tuples(padded, "light_chain_id"),
+            antigen_chain_ids=_cat_tuples(padded, "antigen_chain_ids"),
         )
     return out
+
+
+def _cat_tuples(batches, field):
+    """Concatenate per-structure tuple metadata; None if absent anywhere."""
+    vals = [getattr(b, field, None) for b in batches]
+    if any(v is None for v in vals):
+        return None
+    return sum(vals, ())
 
 
 def pad_batch_to_bucket(batch, buckets: Sequence[int] = DEFAULT_BUCKETS):

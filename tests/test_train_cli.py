@@ -36,9 +36,17 @@ def test_train_checkpoint_resume_fold(small_pdb, tmp_path):
     assert m["steps"] == 3 and np.isfinite(m["final_loss"])
     assert os.path.exists(os.path.join(ck, "config.json"))
 
-    # resume: continues from the saved step
+    # steps is the TOTAL target: rerunning the completed command is a
+    # no-op (crash-recovery semantics), extending needs a larger steps
     m2 = train([small_pdb], ck, cfg, log_fn=lambda *a: logs.append(" ".join(map(str, a))))
-    assert m2["steps"] == 6
+    assert m2["steps"] == 3 and m2["final_loss"] is None
+    assert any("already at step 3" in l for l in logs)
+
+    import dataclasses
+
+    m3 = train([small_pdb], ck, dataclasses.replace(cfg, steps=6),
+               log_fn=lambda *a: logs.append(" ".join(map(str, a))))
+    assert m3["steps"] == 6
     assert any("resumed from step 3" in l for l in logs)
 
     # fold from the checkpoint: valid coordinates, right shapes
@@ -69,8 +77,9 @@ def test_resume_with_mismatched_config_errors(small_pdb, tmp_path):
     # the on-disk config still describes the checkpoint's params
     cfg_on_disk = json.load(open(os.path.join(ck, "config.json")))
     assert cfg_on_disk["node_dim"] == 16
-    # changing only non-shape fields (steps, lr) resumes fine
-    more_steps = dataclasses.replace(cfg, steps=1, learning_rate=1e-4)
+    # changing only non-shape fields (steps, lr) resumes fine; steps is
+    # the TOTAL target so 3 trains one more step on the step-2 checkpoint
+    more_steps = dataclasses.replace(cfg, steps=3, learning_rate=1e-4)
     m = train([small_pdb], ck, more_steps, log_fn=lambda *a: None)
     assert m["steps"] == 3
 
