@@ -557,6 +557,7 @@ class StructureBatch:
             xyz[:, :, int(ATOM.C)],
             xyz[:, :, int(ATOM.O)],
             self.residue_mask,
+            chain_idx=self.chain_idx,
         )
         return ss
 
@@ -655,6 +656,7 @@ class StructureBatch:
             xyz[:, :, int(ATOM.C)],
             xyz[:, :, int(ATOM.O)],
             self.residue_mask,
+            chain_idx=self.chain_idx,
         )
 
     def clash_energy(self, tolerance: float = 0.4) -> jnp.ndarray:

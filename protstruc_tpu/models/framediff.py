@@ -114,7 +114,12 @@ class FrameDenoiser(nn.Module):
         d = jnp.linalg.norm(
             x_t[:, :, None, :] - x_t[:, None, :, :] + 1e-8, axis=-1
         )
-        edges = jnp.linspace(0.0, 2.0, cfg.n_dist_bins - 1) * cfg.trans_scale
+        # d is computed on NORMALIZED coordinates (x_t carries units of
+        # trans_scale angstroms), so the edges stay in normalized units
+        # too: 0-2 here spans 0-20 A of real structure at trans_scale=10.
+        # Scaling the edges by trans_scale collapsed every realistic
+        # CA-CA distance into the first ~3 of the bins.
+        edges = jnp.linspace(0.0, 2.0, cfg.n_dist_bins - 1)
         bins = jnp.searchsorted(edges, d)
         pair = nn.Embed(cfg.n_dist_bins, cfg.pair_dim, name="dist_embed",
                         dtype=cfg.dtype)(bins)
@@ -162,7 +167,10 @@ def corrupt_frames(
 
     sigma_t = cfg.sigmas()[t][:, None]  # (B, 1) broadcast over L
     noise_rot = sample_igso3(kr, jnp.broadcast_to(sigma_t, (B, L)), (B, L))
-    r_t = jnp.einsum("blij,bljk->blik", r0, noise_rot)
+    # rotation composition is a coordinate path: pin full precision
+    # (bf16 default on TPU drifts frames off the orthonormal manifold)
+    r_t = jnp.einsum("blij,bljk->blik", r0, noise_rot,
+                     precision="highest")
     return r_t, x_t
 
 
@@ -193,7 +201,10 @@ def framediff_loss(
     denom = jnp.maximum(jnp.sum(w), 1.0)
     trans_mse = jnp.sum(w[..., None] * (x_hat - x0) ** 2) / denom
 
-    rel = jnp.einsum("blji,bljk->blik", r_hat, r0)  # r_hat^T r0
+    # pin precision: near convergence the geodesic angle is sqrt(2*err),
+    # so bf16 trace error ~1e-2 would floor rot_loss at matmul noise
+    rel = jnp.einsum("blji,bljk->blik", r_hat, r0,
+                     precision="highest")  # r_hat^T r0
     ang = rotation_angle(rel)
     rot_loss = jnp.sum(w * ang**2) / denom
     return trans_mse + rot_loss
@@ -234,7 +245,8 @@ def frameflow_loss(
     w = mask.astype(jnp.float32)
     denom = jnp.maximum(jnp.sum(w), 1.0)
     trans = jnp.sum(w[..., None] * (x_hat - x0) ** 2) / denom
-    ang = rotation_angle(jnp.einsum("blji,bljk->blik", r_hat, r0))
+    ang = rotation_angle(jnp.einsum("blji,bljk->blik", r_hat, r0,
+                                    precision="highest"))
     rot = jnp.sum(w * ang**2) / denom
     return trans + rot
 
@@ -331,7 +343,8 @@ def framediff_sample(
         noise = _sample(kr, jnp.full((B, L), s_add), (B, L))
         r_next = jnp.where(
             t > 0,
-            jnp.einsum("blij,bljk->blik", r_mean, noise),
+            jnp.einsum("blij,bljk->blik", r_mean, noise,
+                       precision="highest"),
             r_mean,
         )
         return (r_next, x_next), ((r_next, x_next) if keep_trajectory else None)

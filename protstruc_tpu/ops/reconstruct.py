@@ -245,13 +245,10 @@ def initialize_backbone_with_mds(dist_mat: jnp.ndarray, max_iter: int = 500) -> 
     cb = geom.place_fourth_atom(
         coords[_C], coords[_N], coords[_CA], ideal.AB, ideal.NAB, ideal.BANC
     )[None]
-    o = geom.place_fourth_atom(
-        jnp.roll(coords[_N], shift=-1, axis=0),
-        coords[_CA],
-        coords[_C],
-        ideal.CO,
-        ideal.ACO,
-        ideal.NACO,
-    )[None]
+    # 🔧 reference bug FIXED (geometry.py:376 rolls N so the LAST residue's
+    # carbonyl dihedral references residue 0's N — an arbitrary atom across
+    # the structure): ideal_carbonyl_oxygen gives the terminal residue an
+    # ideal-psi placement instead
+    o = geom.ideal_carbonyl_oxygen(coords[_N], coords[_CA], coords[_C])[None]
 
     return jnp.concatenate([coords, o, cb], axis=0)

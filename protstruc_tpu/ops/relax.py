@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from protstruc_tpu.constants import ideal
 
-__all__ = ["backbone_bonded_energy", "relax_structure"]
+__all__ = ["backbone_bonded_energy", "intra_residue_restraint_energy",
+           "relax_structure"]
 
 # Engh & Huber (1991) peptide-bond planar angles, radians (not in the
 # reference's ideal table, which only carries frame-construction angles):
@@ -93,6 +94,36 @@ def backbone_bonded_energy(
     return e
 
 
+def intra_residue_restraint_energy(
+    xyz: jnp.ndarray,
+    x0: jnp.ndarray,
+    pair_ok: jnp.ndarray,
+) -> jnp.ndarray:
+    """Harmonic restraint holding intra-residue covalent geometry, ``(B,)``.
+
+    The clash term deliberately excludes intra-residue pairs (pack.py) and
+    the bonded term only covers backbone atoms — without this, a clashing
+    sidechain atom (e.g. LYS NZ) feels only the inter-residue push plus
+    the weak global tether and drifts off its covalent bond arbitrarily.
+    Bonds are identified geometrically from the INITIAL structure (no
+    residue-type bond table needed): intra-residue atom pairs closer than
+    2.0 A at start are restrained to their initial distance with weight 1
+    (covalent bonds, 1.2-1.8 A), pairs in [2.0, 2.8) with weight 0.25
+    (1-3 pairs, holds the angles).  Restraining to the initial distances
+    preserves — not idealizes — input sidechain geometry; rebuilding
+    broken sidechains is the packer's job (ops/pack, ops/graft).
+    """
+    d0 = jnp.sqrt(jnp.sum(
+        (x0[:, :, :, None] - x0[:, :, None, :]) ** 2, -1) + 1e-12)
+    w = jnp.where(d0 < 2.0, 1.0, jnp.where(d0 < 2.8, 0.25, 0.0))
+    A = xyz.shape[2]
+    upper = jnp.triu(jnp.ones((A, A), bool), k=1)
+    w = jnp.where(pair_ok & upper[None, None], w, 0.0)
+    d = jnp.sqrt(jnp.sum(
+        (xyz[:, :, :, None] - xyz[:, :, None, :]) ** 2, -1) + 1e-12)
+    return jnp.sum(w * (d - d0) ** 2, axis=(1, 2, 3))
+
+
 def relax_structure(
     xyz: jnp.ndarray,
     atom_mask: jnp.ndarray,
@@ -103,6 +134,7 @@ def relax_structure(
     clash_weight: float = 1.0,
     bonded_weight: float = 10.0,
     tether_weight: float = 0.1,
+    intra_weight: float = 10.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Minimize bonded + clash (+ tether) energy over atom coordinates.
 
@@ -119,16 +151,19 @@ def relax_structure(
         chain_idx = jnp.zeros(xyz.shape[:2], jnp.int32)
     finite = jnp.isfinite(xyz).all(-1, keepdims=True)
     x0 = jnp.nan_to_num(xyz, nan=0.0)
+    present = atom_mask & finite[..., 0]
+    intra_ok = present[:, :, :, None] & present[:, :, None, :]
 
     def total(x):
         xb = jnp.where(finite, x, jnp.nan)  # keep missing-atom semantics
         eb = backbone_bonded_energy(xb, atom_mask, chain_idx)
         ec = clash_energy(xb, atom_mask, seq_idx)
+        ei = intra_residue_restraint_energy(x, x0, intra_ok)
         et = jnp.sum(
             jnp.where(finite & atom_mask[..., None], (x - x0) ** 2, 0.0),
             axis=(1, 2, 3))
         return (bonded_weight * eb + clash_weight * ec
-                + tether_weight * et), (eb, ec)
+                + intra_weight * ei + tether_weight * et), (eb, ec)
 
     tx = optax.adam(learning_rate)
 

@@ -115,6 +115,19 @@ def frame_apply(r, t, x):
 
 
 def rotation_angle(r: jnp.ndarray) -> jnp.ndarray:
-    """Rotation angle in [0, pi] of ``(..., 3, 3)`` rotation matrices."""
+    """Rotation angle in [0, pi] of ``(..., 3, 3)`` rotation matrices.
+
+    Gradient-safe at the arccos saturation points: near identity (trace
+    rounds to >= 3 in f32, routine as a rotation loss converges) and at
+    antipodal rotations, d/dx arccos is -inf and the naive form NaNs the
+    whole backward pass (the CLAUDE.md double-where rule).  The cosine is
+    squeezed just inside (-1, 1) before arccos; values at/beyond the
+    boundary pin to arccos(+-(1-eps)) with a finite gradient.
+    """
     t = jnp.trace(r, axis1=-2, axis2=-1)
-    return jnp.arccos(jnp.clip((t - 1.0) / 2.0, -1.0, 1.0))
+    c = jnp.clip((t - 1.0) / 2.0, -1.0, 1.0)
+    eps = 1e-6
+    inner = jnp.clip(c, -1.0 + eps, 1.0 - eps)
+    # double-where: the branch NOT taken must still be differentiable
+    safe = jnp.where(jnp.abs(c) < 1.0 - eps, c, inner)
+    return jnp.arccos(safe)

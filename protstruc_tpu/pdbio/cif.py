@@ -25,7 +25,14 @@ def looks_like_cif(data: bytes) -> bool:
 
 def _split_tokens(line: str) -> List[str]:
     if "'" in line or '"' in line:
-        return shlex.split(line)
+        try:
+            return shlex.split(line)
+        except ValueError:
+            # unbalanced quote (truncated/hand-edited row): fall back to
+            # whitespace split rather than aborting the whole parse — the
+            # row is then judged by the same too-few-tokens skip as any
+            # other malformed body row
+            return line.split()
     return line.split()
 
 
@@ -106,9 +113,15 @@ def parse_atom_records_cif(data: bytes) -> Dict[str, np.ndarray]:
         num = clean(t[c_num], "0") if c_num is not None else "0"
         res_num.append(int(num) if num not in ("",) else 0)
         icode.append(clean(t[c_ins]) if c_ins is not None else "")
+        def coord(v):
+            # mmCIF encodes unknown values as '.'/'?' in any column: a
+            # null coordinate is a missing atom -> NaN (the load-bearing
+            # missing-atom convention), not a parse abort
+            return float("nan") if v in (".", "?") else float(v)
+
         xyz.append(
-            (float(t[idx["Cartn_x"]]), float(t[idx["Cartn_y"]]),
-             float(t[idx["Cartn_z"]]))
+            (coord(t[idx["Cartn_x"]]), coord(t[idx["Cartn_y"]]),
+             coord(t[idx["Cartn_z"]]))
         )
 
     if not atom_name:

@@ -92,3 +92,32 @@ def test_cif_batch_ingest():
 def test_cif_missing_loop_raises():
     with pytest.raises(ValueError):
         parse_pdb(io.BytesIO(b"data_EMPTY\n#\n_cell.length_a 1.0\n"))
+
+
+def test_null_coordinates_become_nan(tmp_path):
+    """mmCIF '?'/'.' coordinate tokens map to NaN (missing atom), not a
+    parse abort; an unbalanced-quote row is skipped, not fatal."""
+    cif = """data_test
+loop_
+_atom_site.group_PDB
+_atom_site.label_atom_id
+_atom_site.label_alt_id
+_atom_site.label_comp_id
+_atom_site.auth_asym_id
+_atom_site.auth_seq_id
+_atom_site.Cartn_x
+_atom_site.Cartn_y
+_atom_site.Cartn_z
+ATOM N . ALA A 1 1.0 2.0 3.0
+ATOM CA . ALA A 1 ? 2.5 3.5
+ATOM C . ALA A 1 2.0 "unbalanced
+ATOM O . ALA A 1 2.0 3.0 4.0
+#
+"""
+    from protstruc_tpu.pdbio.cif import parse_atom_records_cif
+
+    rec = parse_atom_records_cif(cif.encode())
+    names = rec["atom_name"].tolist()
+    assert "N" in names and "CA" in names and "O" in names
+    ca = rec["xyz"][names.index("CA")]
+    assert np.isnan(ca[0]) and ca[1] == 2.5

@@ -77,3 +77,39 @@ class TestRelax:
         clashed = sb.replace(xyz=jnp.asarray(x))
         relaxed, e = clashed.relax(n_steps=300, learning_rate=5e-3)
         assert float(e["clash_final"][0]) < 0.1 * float(e["clash_initial"][0])
+
+
+def test_relax_preserves_sidechain_bonds():
+    """A clashing sidechain atom must be pushed away WITHOUT stretching
+    its covalent bond: the intra-residue restraint holds bonded distances
+    while the clash resolves."""
+    import jax.numpy as jnp
+
+    from protstruc_tpu import StructureBatch
+    from protstruc_tpu.ops.relax import relax_structure
+    from tests.conftest import pdb_path
+
+    sb = StructureBatch.from_pdb(pdb_path("1REX.pdb"))
+    xyz = np.array(sb.xyz)[:, :40]
+    am = np.asarray(sb.atom_mask)[:, :40]
+    seq = np.asarray(sb.get_seq_idx())[:, :40]
+
+    # record initial intra-residue bonded (<2.0 A) distances
+    def intra_bonds(x):
+        d = np.sqrt(np.nansum(
+            (x[:, :, :, None] - x[:, :, None, :]) ** 2, -1))
+        ok = am[:, :, :, None] & am[:, :, None, :]
+        ok &= np.isfinite(x).all(-1)[:, :, :, None]
+        ok &= np.isfinite(x).all(-1)[:, :, None, :]
+        iu = np.triu(np.ones(d.shape[-2:], bool), 1)
+        return d, ok & iu[None, None]
+
+    d0, ok = intra_bonds(xyz)
+    bonds = ok & (d0 < 2.0) & (d0 > 0.5)
+
+    relaxed, energies = relax_structure(
+        jnp.asarray(xyz), jnp.asarray(am), jnp.asarray(seq), n_steps=60)
+    d1, _ = intra_bonds(np.asarray(relaxed))
+    # bonded distances move < 0.1 A even while atoms relax
+    assert np.abs(d1[bonds] - d0[bonds]).max() < 0.1
+    assert float(energies["final"][0]) <= float(energies["initial"][0])

@@ -184,3 +184,29 @@ class TestSS8:
         sb = StructureBatch.from_dihedrals(tor)
         ss8 = np.asarray(self._ss8_of(sb))[0]
         assert (ss8[4:-6] == SS8_HELIX).mean() > 0.8
+
+
+def test_two_chain_batch_matches_per_chain_assignment():
+    """SS of each chain in a two-chain structure equals the chains
+    assessed individually: the amide-H and bend constructions must not
+    leak across the chain boundary."""
+    import jax.numpy as jnp
+
+    from protstruc_tpu import StructureBatch
+    from tests.conftest import pdb_path
+
+    sb = StructureBatch.from_pdb(pdb_path("1ad0_DC.pdb"))  # two chains
+    ci = np.asarray(sb.chain_idx)[0]
+    rm = np.asarray(sb.residue_mask)[0]
+    ss_joint8 = np.asarray(sb.secondary_structure_8())[0]
+    ss_joint3 = np.asarray(sb.secondary_structure())[0]
+
+    for code in np.unique(ci[ci >= 0]):
+        keep = (ci == code)
+        sub = sb.residue_masked_select(keep[None])
+        np.testing.assert_array_equal(
+            np.asarray(sub.secondary_structure_8())[0],
+            ss_joint8[keep], err_msg=f"chain {code} SS8")
+        np.testing.assert_array_equal(
+            np.asarray(sub.secondary_structure())[0],
+            ss_joint3[keep], err_msg=f"chain {code} SS3")

@@ -252,3 +252,37 @@ class TestFrameFlow:
             params, opt, _ = step(params, opt, jax.random.PRNGKey(300 + i))
         after = float(eval_loss(params))
         assert after < before
+
+
+def test_rotation_angle_grad_finite_at_identity():
+    """arccos saturation (trace >= 3 in f32) must not NaN the gradient —
+    the routine convergence state of a rotation loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from protstruc_tpu.ops.rigid import rotation_angle
+
+    def loss(r):
+        return jnp.sum(rotation_angle(r) ** 2)
+
+    g = jax.grad(loss)(jnp.eye(3)[None])
+    assert np.isfinite(np.asarray(g)).all()
+    # antipodal (trace = -1) saturation too
+    r_pi = jnp.diag(jnp.asarray([1.0, -1.0, -1.0]))[None]
+    g2 = jax.grad(loss)(r_pi)
+    assert np.isfinite(np.asarray(g2)).all()
+
+
+def test_denoiser_distance_bins_resolve_normalized_distances():
+    """Pair-distance bin edges are in NORMALIZED units: CA pairs 5 A and
+    9 A apart (0.5 / 0.9 normalized at trans_scale=10) must land in
+    different bins."""
+    import jax.numpy as jnp
+
+    from protstruc_tpu.models.framediff import FrameDiffConfig
+
+    cfg = FrameDiffConfig()
+    edges = jnp.linspace(0.0, 2.0, cfg.n_dist_bins - 1)
+    b1 = int(jnp.searchsorted(edges, 5.0 / cfg.trans_scale))
+    b2 = int(jnp.searchsorted(edges, 9.0 / cfg.trans_scale))
+    assert b1 != b2
