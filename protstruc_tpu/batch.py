@@ -586,7 +586,8 @@ class StructureBatch:
         from protstruc_tpu.ops.surface import contact_order as _co
 
         return _co(self.xyz[:, :, int(ATOM.CA)], self.residue_mask,
-                   cutoff=cutoff, relative=relative)
+                   cutoff=cutoff, relative=relative,
+                   chain_idx=self.chain_idx)
 
     def lddt_to(self, other: "StructureBatch", per_residue: bool = False,
                 cutoff: float = 15.0) -> jnp.ndarray:

@@ -181,6 +181,10 @@ def sample_sequence(
     Positions outside ``residue_mask`` come back as UNK (20).
     """
     logits = model.apply({"params": params}, feats)
+    # never draw UNK (20) at a valid position: it doubles as the padding
+    # sentinel (the output would be ambiguous) and is un-synthesizable —
+    # same rule as the AR decoder (ar_sample_sequence)
+    logits = logits.at[..., 20:].set(-1e9)
     t = jnp.maximum(temperature, 1e-4)
     seq = jax.random.categorical(key, logits / t, axis=-1)
     return jnp.where(feats["residue_mask"], seq, 20).astype(jnp.int32)

@@ -175,15 +175,25 @@ def chi_angles(
         atom_mask[:, :, None, :].repeat(4, axis=2), safe, axis=3
     )  # (B, L, 4, 4)
 
-    a, b, c, d = (gather[..., i, :] for i in range(4))
-    chi = geom.dihedral(a, b, c, d)
-
     mask = (
         defined[aa]
         & present.all(-1)
         & jnp.isfinite(gather).all((-2, -1))
     )
-    return jnp.where(mask, jnp.nan_to_num(chi, nan=0.0), 0.0), mask
+    # double-where (CLAUDE.md): undefined chis gather four copies of slot
+    # 0 (and missing atoms are NaN), making dihedral's 0/0 NaN — a single
+    # post-hoc where hides the value but jax.grad still multiplies the
+    # NaN atan2 partials by the zero cotangent.  Feed a fixed
+    # non-degenerate quadruple instead; it carries no xyz dependence, so
+    # the untaken branch contributes exactly zero gradient.
+    dummy = jnp.asarray(
+        [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [1.0, 1.0, 0.0], [1.0, 1.0, 1.0]]
+    )
+    g_safe = jnp.where(mask[..., None, None],
+                       jnp.nan_to_num(gather, nan=0.0), dummy)
+    a, b, c, d = (g_safe[..., i, :] for i in range(4))
+    chi = geom.dihedral(a, b, c, d)
+    return jnp.where(mask, chi, 0.0), mask
 
 
 def rotate_chi(
@@ -197,8 +207,12 @@ def rotate_chi(
     Applies the four chi rotations in order (chi1 first — later chis ride
     inside earlier moved groups, so each uses the updated coordinates).
     Atoms outside a chi's moved set — and residues where the chi is
-    undefined — are untouched; bond lengths/angles are preserved exactly
-    (rigid Rodrigues rotation about the a2-a3 axis through a3).
+    undefined — are untouched; bond lengths/angles within the moved
+    subtree are preserved exactly (rigid Rodrigues rotation about the
+    a2-a3 axis through a3).  Caveat: PRO's chis live inside the
+    pyrrolidine ring, whose closure bond (CD-N) is NOT preserved by a
+    tree rotation — samplers must not perturb proline chis
+    (pack.pack_sidechains freezes them).
 
     Args:
         xyz: ``(B, L, 15, 3)``; seq_idx: ``(B, L)``; delta: ``(B, L, 4)``.
@@ -221,12 +235,17 @@ def rotate_chi(
             out, slots[..., None].repeat(3, -1), axis=2
         )  # (B, L, 4, 3)
         a2, a3 = g[:, :, 1], g[:, :, 2]
-        axis = a3 - a2
-        n = jnp.linalg.norm(axis, axis=-1, keepdims=True)
-        axis = axis / jnp.maximum(n, 1e-8)
-
-        ok = defined[aa][:, :, k] & (n[..., 0] > 1e-6)
+        # double-where normalization: NaN (missing) axis atoms or a
+        # zero-length axis would otherwise leak NaN/inf into the backward
+        # pass of any gradient-based chi refinement even where the
+        # rotation is masked off (0 * inf = NaN through sqrt at 0)
+        raw = jnp.nan_to_num(a3 - a2, nan=0.0)
+        nsq = jnp.sum(raw * raw, axis=-1, keepdims=True)
+        ok = defined[aa][:, :, k] & (nsq[..., 0] > 1e-12)
         ok = ok & jnp.isfinite(a2).all(-1) & jnp.isfinite(a3).all(-1)
+        nsq_safe = jnp.where(nsq > 1e-12, nsq, 1.0)
+        axis = jnp.where(ok[..., None], raw, jnp.asarray([1.0, 0.0, 0.0]))
+        axis = axis / jnp.sqrt(jnp.where(ok[..., None], nsq_safe, 1.0))
         ang = jnp.where(ok, delta[:, :, k], 0.0)
 
         rot = rotvec_to_rot(axis * ang[..., None])  # (B, L, 3, 3)

@@ -91,6 +91,7 @@ def ddpm_reverse_step(
     betas: jnp.ndarray,
     t: jnp.ndarray,
     clip_x0: float = None,
+    alpha_bar: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """One ancestral DDPM reverse step ``x_t -> x_{t-1}``.
 
@@ -100,9 +101,12 @@ def ddpm_reverse_step(
     ``x0_hat`` (the standard stabilizer — imperfect denoisers otherwise
     blow up through the ~1/sqrt(alpha_t) amplification at high-noise
     steps).  No noise is added at t = 0.  ``t``: scalar int step index.
+    ``alpha_bar``: optional precomputed ``cumprod(1 - betas)`` — pass it
+    from a sampling loop so the scan body doesn't redo O(T) work per step.
     """
     alphas = 1.0 - betas
-    alpha_bar = jnp.cumprod(alphas)
+    if alpha_bar is None:
+        alpha_bar = jnp.cumprod(alphas)
     ab_t = alpha_bar[t]
     ab_prev = jnp.where(t > 0, alpha_bar[jnp.maximum(t - 1, 0)], 1.0)
     a_t = alphas[t]
@@ -148,11 +152,15 @@ def ddpm_sample(
     k0, kloop = jax.random.split(key)
     x_T = jax.random.normal(k0, shape, dtype=jnp.float32)
     keys = jax.random.split(kloop, T)
+    # hoist the O(T) schedule cumprod out of the scan body (it would
+    # otherwise be recomputed at every one of the T steps)
+    alpha_bar = jnp.cumprod(1.0 - betas)
 
     def step(x, inp):
         k, t = inp
         eps_hat = denoise_fn(x, t)
-        x = ddpm_reverse_step(x, eps_hat, k, betas, t, clip_x0=clip_x0)
+        x = ddpm_reverse_step(x, eps_hat, k, betas, t, clip_x0=clip_x0,
+                              alpha_bar=alpha_bar)
         return x, (x if keep_trajectory else None)
 
     ts = jnp.arange(T - 1, -1, -1)

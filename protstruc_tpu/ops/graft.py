@@ -111,5 +111,10 @@ def build_sidechains(
     mask = mask.at[:, :, :n_given].set(mask[:, :, :n_given] | given)
     if residue_mask is not None:
         mask = mask & residue_mask[..., None]
+    # invariant: mask True => atom exists (finite).  An incomplete
+    # backbone frame (missing N/CA/C) makes gram_schmidt NaN and every
+    # placed atom NaN — those slots must drop out of the mask, or the
+    # writer emits 'nan' coordinate fields into the PDB
+    mask = mask & jnp.isfinite(out).all(-1)
     out = jnp.where(mask[..., None], out, jnp.nan)
     return out, mask

@@ -77,11 +77,10 @@ def backbone_from_dihedrals(dihedrals: jnp.ndarray) -> jnp.ndarray:
     c = jnp.concatenate([c0[None], placed[2]], axis=0)
     n, ca, c = (jnp.moveaxis(v, 0, 1) for v in (n, ca, c))  # (B, L, 3)
 
-    # ideal carbonyl O from the next residue's N (wraps at the C-terminus,
-    # matching the reference's np.roll construction, geometry.py:376-383)
-    n_next = jnp.roll(n, shift=-1, axis=1)
-    o = geom.place_fourth_atom(
-        n_next, ca, c, ideal.CO, ideal.ACO, jnp.full(c.shape[:-1] + (1,), ideal.NACO)
-    )
+    # ideal carbonyl O — 🔧 reference bug FIXED (geometry.py:376-383 rolls
+    # N so the LAST residue's O is oriented by residue 0's N, an arbitrary
+    # direction for any folded chain): ideal_carbonyl_oxygen gives the
+    # terminal residue an ideal-psi placement instead
+    o = geom.ideal_carbonyl_oxygen(n, ca, c)
 
     return jnp.stack([n, ca, c, o], axis=2)

@@ -102,11 +102,19 @@ def pack_sidechains(
         jnp.linspace(jnp.log(sigma0), jnp.log(sigma1), n_sweeps)
     )
 
+    # PRO chis live inside the pyrrolidine ring: rotate_chi moves the
+    # CG/CD subtree but the ring-closure CD-N bond stays put, so sampling
+    # them would tear the ring — and clash_energy excludes intra-residue
+    # pairs, so the damage would never be scored.  Freeze proline deltas.
+    from protstruc_tpu.vocab import AA
+
+    not_pro = (seq_idx != int(AA.PRO))[None, :, :, None]
+
     def sweep(carry, inp):
         x, e = carry
         k, sigma = inp
         deltas = (
-            jax.random.normal(k, (n_proposals, B, L, 4)) * sigma
+            jax.random.normal(k, (n_proposals, B, L, 4)) * sigma * not_pro
         )
         cands = jax.vmap(lambda d: rotate_chi(x, seq_idx, d, atom_mask))(deltas)
         es = jax.vmap(energy)(cands)  # (K, B)

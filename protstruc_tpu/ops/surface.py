@@ -152,11 +152,16 @@ def contact_order(
     mask: Optional[jnp.ndarray] = None,
     cutoff: float = 8.0,
     relative: bool = True,
+    chain_idx: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """(Relative) contact order from CA coordinates ``(B, L, 3)``.
 
     Mean sequence separation of residue pairs in contact (CA-CA < cutoff,
-    |i-j| >= 2), divided by the chain length when ``relative``.
+    |i-j| >= 2), divided by the chain length when ``relative``.  Contact
+    order is a single-chain notion (Plaxco et al. 1998): when
+    ``chain_idx`` is given, only same-chain pairs count — cross-chain
+    |i - j| in a concatenated complex is a flattened-index artifact, not
+    a sequence separation.
     """
     B, L, _ = ca.shape
     if mask is None:
@@ -176,7 +181,10 @@ def contact_order(
         & (sep[None] >= 2)
         & mask[:, :, None]
         & mask[:, None, :]
-    ).astype(ca.dtype)
+    )
+    if chain_idx is not None:
+        contact = contact & (chain_idx[:, :, None] == chain_idx[:, None, :])
+    contact = contact.astype(ca.dtype)
 
     n_contacts = jnp.maximum(jnp.sum(contact, axis=(1, 2)), 1.0)
     co = jnp.sum(contact * sep[None], axis=(1, 2)) / n_contacts

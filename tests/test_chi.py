@@ -191,3 +191,73 @@ class TestRotateChi:
             # |delta chi2| == pi up to the real carboxylate's slight
             # deviation from ideal planar symmetry (~0.02 rad in 1REX)
             np.testing.assert_allclose(d, np.pi, atol=0.05)
+
+
+def test_chi_angles_gradient_finite_with_ala_gly_and_missing():
+    """Undefined chis (ALA/GLY gather four copies of slot 0) and missing
+    atoms must not NaN gradients through chi_angles (double-where rule)."""
+    import jax
+    import jax.numpy as jnp
+
+    from protstruc_tpu.ops.chi import chi_angles
+    from protstruc_tpu.vocab import AA
+
+    rng = np.random.RandomState(0)
+    xyz = rng.randn(1, 4, 15, 3).astype(np.float32)
+    xyz[0, 2, 6] = np.nan  # missing chi atom on a defined residue
+    seq = np.asarray([[int(AA.ALA), int(AA.GLY), int(AA.LYS),
+                       int(AA.ARG)]], np.int32)
+    am = np.ones((1, 4, 15), bool)
+
+    def loss(x):
+        chi, m = chi_angles(x, jnp.asarray(seq), jnp.asarray(am))
+        return jnp.sum(jnp.where(m, chi, 0.0) ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(xyz))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_rotate_chi_gradient_finite_with_missing_axis_atom():
+    """Missing chi-axis atoms must not NaN gradients w.r.t. delta."""
+    import jax
+    import jax.numpy as jnp
+
+    from protstruc_tpu.ops.chi import rotate_chi
+    from protstruc_tpu.vocab import AA
+
+    rng = np.random.RandomState(1)
+    xyz = rng.randn(1, 2, 15, 3).astype(np.float32)
+    xyz[0, 0, 5] = np.nan  # LYS CG missing -> chi2 axis undefined
+    seq = np.asarray([[int(AA.LYS), int(AA.SER)]], np.int32)
+
+    def loss(d):
+        out = rotate_chi(jnp.asarray(xyz), jnp.asarray(seq), d)
+        return jnp.sum(jnp.nan_to_num(out, nan=0.0) ** 2)
+
+    g = jax.grad(loss)(jnp.zeros((1, 2, 4)))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_pack_freezes_proline_chis():
+    """pack_sidechains must not move proline ring atoms (the ring-closure
+    CD-N bond is invisible to clash_energy)."""
+    import jax
+    import jax.numpy as jnp
+
+    from protstruc_tpu import StructureBatch
+    from protstruc_tpu.ops.pack import pack_sidechains
+    from protstruc_tpu.vocab import AA
+    from tests.conftest import pdb_path
+
+    sb = StructureBatch.from_pdb(pdb_path("1REX.pdb"))
+    seq = np.asarray(sb.get_seq_idx())
+    pro = seq[0] == int(AA.PRO)
+    assert pro.any(), "fixture needs at least one proline"
+
+    packed, _ = pack_sidechains(
+        sb.xyz, jnp.asarray(seq), sb.atom_mask,
+        jax.random.PRNGKey(0), n_sweeps=3, n_proposals=2)
+    before = np.asarray(sb.xyz)[0, pro]
+    after = np.asarray(packed)[0, pro]
+    both = np.isfinite(before).all(-1) & np.isfinite(after).all(-1)
+    assert np.abs(after[both] - before[both]).max() < 1e-5
