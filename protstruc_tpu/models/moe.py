@@ -65,9 +65,13 @@ class MoEMLP(nn.Module):
 
         out = jnp.einsum("tec,ecd->td", combine, expert_out)
 
-        # load-balancing auxiliary loss (Switch Transformer eq. 4)
-        frac_tokens = jnp.mean(onehot, axis=0)
-        frac_probs = jnp.mean(probs * valid[:, None], axis=0)
+        # load-balancing auxiliary loss (Switch Transformer eq. 4),
+        # normalized by the VALID token count: dividing by T would shrink
+        # the aux quadratically with the padding fraction, so balancing
+        # pressure varied ~10x across length buckets
+        n_valid = jnp.maximum(jnp.sum(valid.astype(probs.dtype)), 1.0)
+        frac_tokens = jnp.sum(onehot, axis=0) / n_valid
+        frac_probs = jnp.sum(probs * valid[:, None], axis=0) / n_valid
         aux = E * jnp.sum(frac_tokens * frac_probs)
 
         return out.reshape(B, L, D), aux
@@ -77,8 +81,12 @@ def moe_param_shardings(params, mesh: Mesh, ep_axis: str = "dp"):
     """Shard the leading expert axis of MoE parameters over ``ep_axis``."""
 
     def spec_for(path, x):
-        names = "/".join(getattr(p, "key", str(p)) for p in path)
-        if any(k in names for k in ("w1", "w2", "b1", "b2")):
+        # match the exact FINAL path component: substring matching over
+        # the joined path would also hit unrelated params whose names
+        # merely contain 'w1'/'b1' (e.g. 'row1', 'emb1') and shard an
+        # axis of the wrong size
+        leaf = getattr(path[-1], "key", str(path[-1])) if path else ""
+        if leaf in ("w1", "w2", "b1", "b2"):
             return P(ep_axis, *([None] * (x.ndim - 1)))
         return P()
 

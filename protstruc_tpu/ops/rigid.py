@@ -127,7 +127,10 @@ def rotation_angle(r: jnp.ndarray) -> jnp.ndarray:
     t = jnp.trace(r, axis1=-2, axis2=-1)
     c = jnp.clip((t - 1.0) / 2.0, -1.0, 1.0)
     eps = 1e-6
-    inner = jnp.clip(c, -1.0 + eps, 1.0 - eps)
-    # double-where: the branch NOT taken must still be differentiable
-    safe = jnp.where(jnp.abs(c) < 1.0 - eps, c, inner)
-    return jnp.arccos(safe)
+    near = jnp.abs(c) < 1.0 - eps
+    # double-where: arccos only ever sees the safe interior (finite
+    # gradient); the saturated branch returns the EXACT boundary angle
+    # (0 or pi) as a constant with zero gradient
+    safe = jnp.where(near, c, 0.0)
+    boundary = jnp.where(c > 0.0, 0.0, jnp.pi)
+    return jnp.where(near, jnp.arccos(safe), boundary)

@@ -44,8 +44,12 @@ def parse_ss_records(source: Union[str, os.PathLike, _io.IOBase]) -> List[SSReco
         if isinstance(text, bytes):
             text = text.decode("ascii", "replace")
     else:
-        with open(source, "r") as fh:
-            text = fh.read()
+        # reuse the parser's byte reader: parse_pdb transparently handles
+        # .pdb.gz via gzip sniffing, and the annotations for the same file
+        # must not silently diverge by compression
+        from protstruc_tpu.pdbio.parser import _read_bytes
+
+        text = _read_bytes(source).decode("ascii", "replace")
 
     out: List[SSRecord] = []
     for line in text.splitlines():
@@ -56,7 +60,10 @@ def parse_ss_records(source: Union[str, os.PathLike, _io.IOBase]) -> List[SSReco
                     chain_id=line[19].strip(),
                     start=int(line[21:25]),
                     end=int(line[33:37]),
-                    helix_class=int(line[38:40] or 1),
+                    # blank class columns (older/tool-generated files)
+                    # default to 1 — int('  ') would otherwise drop the
+                    # whole record via the except
+                    helix_class=int(line[38:40].strip() or 1),
                 ))
             except (ValueError, IndexError):
                 continue

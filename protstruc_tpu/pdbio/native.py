@@ -84,6 +84,16 @@ def parse_atom_records_native(data: bytes):
     Returns the same dict of numpy arrays as parser._parse_atom_records
     (atom_name/altloc/res_name/chain_id/res_num/icode/xyz) or None when the
     native library is unavailable.
+
+    Documented divergence from the NumPy path on MALFORMED input only:
+    the C++ fixed-field scanners (pdb_parser.cpp parse_fixed_float/int)
+    stop at the first unparseable character and yield 0 for a corrupt
+    numeric field, where the NumPy path raises ValueError on the same
+    bytes; lines shorter than 54 chars are skipped.  Well-formed PDBs
+    (everything the ingest tests and parity gates cover) parse
+    identically byte-for-byte; lenient-vs-strict on corrupt files is the
+    standard fast-scanner trade and callers wanting strictness can force
+    the NumPy path (PROTSTRUC_TPU_NO_NATIVE=1).
     """
     lib = load_native()
     if lib is None:

@@ -260,7 +260,10 @@ def parse_pdb(
             rec[k] = np.char.encode(rec[k], "ascii")
     else:
         rec = None
-        if use_native:
+        if use_native and not os.environ.get("PROTSTRUC_TPU_NO_NATIVE"):
+            # env escape hatch: the C++ scanner is lenient on CORRUPT
+            # numeric fields (yields 0 where NumPy raises — documented in
+            # native.parse_atom_records_native); strict callers disable it
             from protstruc_tpu.pdbio.native import parse_atom_records_native
 
             try:

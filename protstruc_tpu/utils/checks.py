@@ -58,14 +58,18 @@ def validate_batch(batch, raise_on_error: bool = True) -> List[str]:
         )
 
     residue_mask = am.any(-1)
-    if (ci[~residue_mask] >= 0).any() and (ci[~residue_mask] != -1).any():
-        # padding rows may keep a real chain idx only if the residue is a
-        # gap dummy inside a chain; flag rows beyond the last valid residue
-        for b in range(B):
-            valid = np.flatnonzero(residue_mask[b])
-            if valid.size and (ci[b, valid[-1] + 1 :] != -1).any():
-                problems.append(f"structure {b}: chain_idx not -1 after last residue")
-                break
+    # padding rows may keep a real chain idx only if the residue is a gap
+    # dummy inside a chain; flag rows beyond the last valid residue.  The
+    # scan runs unconditionally over every structure (an early `.any()`
+    # pre-filter keyed on -1 specifically would skip e.g. a -2 pad value,
+    # and breaking on the first offender hid the rest).
+    for b in range(B):
+        valid = np.flatnonzero(residue_mask[b])
+        if valid.size and (ci[b, valid[-1] + 1 :] != -1).any():
+            problems.append(f"structure {b}: chain_idx not -1 after last residue")
+        if valid.size and (ri[b, valid[-1] + 1 :] != -1).any():
+            problems.append(
+                f"structure {b}: residue_idx not -1 after last residue")
     for b in range(B):
         chains = ci[b][ci[b] >= 0]
         if chains.size:

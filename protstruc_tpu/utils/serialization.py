@@ -31,8 +31,11 @@ def save_structure_batch(batch, path: Union[str, "io.IOBase"]) -> None:
         "standardized": batch.standardized,
         "class": type(batch).__name__,
     }
-    if getattr(batch, "residue_masks", None):
-        for k, v in batch.residue_masks.items():
+    # key the antibody branch on the CLASS, matching the loader — an
+    # AntibodyStructureBatch with residue_masks=None (its default) must
+    # still write the chain-id metadata the loader reads unconditionally
+    if hasattr(batch, "heavy_chain_id"):
+        for k, v in (getattr(batch, "residue_masks", None) or {}).items():
             arrays[f"residue_masks/{k}"] = np.asarray(v)
         meta.update(
             heavy_chain_id=batch.heavy_chain_id,
@@ -44,6 +47,11 @@ def save_structure_batch(batch, path: Union[str, "io.IOBase"]) -> None:
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
     )
+    # np.savez_compressed appends '.npz' to suffix-less string paths but
+    # the loader opens the path verbatim — normalize here so save/load
+    # stay symmetric for any path
+    if isinstance(path, str) and not path.endswith(".npz"):
+        path = path + ".npz"
     np.savez_compressed(path, **arrays)
 
 
@@ -59,6 +67,11 @@ def load_structure_batch(path: Union[str, "io.IOBase"]):
     from protstruc_tpu.antibody import AntibodyStructureBatch
     from protstruc_tpu.batch import StructureBatch
 
+    if isinstance(path, str) and not path.endswith(".npz"):
+        import os
+
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path = path + ".npz"
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(bytes(z["__meta__"]).decode())
         arrays = {k: z[k] for k in z.files if k != "__meta__"}

@@ -85,3 +85,42 @@ def test_idealize_improves_noisy_backbone():
     assert abs(d.mean() - 1.458) < 0.03
     drift = np.asarray(jnp.linalg.norm(refined - noisy, axis=-1)).max()
     assert drift < 1.5
+
+
+def test_idealize_nan_padding_and_chain_breaks():
+    """NaN-padded residues must not poison idealization gradients, and
+    chain boundaries must not be pulled together by the peptide terms."""
+    import jax.numpy as jnp
+
+    from protstruc_tpu import StructureBatch
+    from protstruc_tpu.ops.idealize import idealize_backbone
+
+    sb = StructureBatch.from_sequence(["ACDEFG", "ACD"])  # ragged: NaN-free
+    coords = np.array(sb.xyz)[:, :, :4]
+    coords[1, 3:] = np.nan  # padding rows as NaN (missing-atom convention)
+    two_chain = np.concatenate([coords[0], coords[0]], axis=0)[None]
+    chain_idx = np.repeat(np.asarray([0, 1]), 6)[None]
+
+    out, loss = idealize_backbone(
+        jnp.asarray(two_chain), n_steps=30,
+        chain_idx=jnp.asarray(chain_idx))
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(out)).all()
+
+    # NaN-padded single structure: refined finite where valid, NaN kept
+    out2, loss2 = idealize_backbone(jnp.asarray(coords[1:2]), n_steps=10)
+    assert np.isfinite(float(loss2))
+    o2 = np.asarray(out2)
+    assert np.isfinite(o2[0, :3]).all()
+    assert np.isnan(o2[0, 3:]).all()
+
+    # chain-boundary distance is NOT restrained toward a peptide bond:
+    # the two copies stay well apart (they start superimposed, so just
+    # check the cross-boundary C-N distance is not forced to ~1.33 A
+    # when the chains begin far apart)
+    shifted = two_chain.copy()
+    shifted[0, 6:] += 50.0
+    out3, _ = idealize_backbone(
+        jnp.asarray(shifted), n_steps=50, chain_idx=jnp.asarray(chain_idx))
+    d = np.linalg.norm(np.asarray(out3)[0, 6, 0] - np.asarray(out3)[0, 5, 2])
+    assert d > 10.0

@@ -138,3 +138,57 @@ def test_compat_numpy_echo():
     # tuple outputs (kabsch) convert too
     r, t = cgeom.kabsch(np.random.randn(10, 3), np.random.randn(10, 3))
     assert isinstance(r, np.ndarray) and isinstance(t, np.ndarray)
+
+
+def test_antibody_roundtrip_without_residue_masks(tmp_path):
+    """An AntibodyStructureBatch with residue_masks=None must round-trip
+    (the loader reads the chain-id metadata unconditionally)."""
+    import jax.numpy as jnp
+
+    from protstruc_tpu.antibody import AntibodyStructureBatch
+    from protstruc_tpu.utils.serialization import (
+        load_structure_batch, save_structure_batch)
+
+    rng = np.random.RandomState(0)
+    ab = AntibodyStructureBatch(
+        xyz=jnp.asarray(rng.randn(1, 8, 15, 3).astype(np.float32)),
+        atom_mask=jnp.ones((1, 8, 15), bool),
+        chain_idx=jnp.zeros((1, 8), jnp.int32),
+        residue_idx=jnp.arange(8, dtype=jnp.int32)[None],
+        chain_ids=None, seq=None,
+        residue_masks=None, heavy_chain_id=("H",), light_chain_id=(None,),
+        antigen_chain_ids=((),))
+    p = str(tmp_path / "ab.npz")
+    save_structure_batch(ab, p)
+    back = load_structure_batch(p)
+    assert type(back).__name__ == "AntibodyStructureBatch"
+    assert back.heavy_chain_id == ("H",)
+
+
+def test_save_load_path_without_npz_suffix(tmp_path):
+    from protstruc_tpu import StructureBatch
+    from protstruc_tpu.utils.serialization import (
+        load_structure_batch, save_structure_batch)
+
+    sb = StructureBatch.from_xyz(np.zeros((1, 4, 15, 3), np.float32))
+    p = str(tmp_path / "batch.bin")  # no .npz suffix
+    save_structure_batch(sb, p)
+    back = load_structure_batch(p)
+    assert back.xyz.shape == (1, 4, 15, 3)
+
+
+def test_validate_batch_catches_nonstandard_pad_and_residue_idx():
+    from protstruc_tpu import StructureBatch
+    from protstruc_tpu.utils.checks import validate_batch
+
+    xyz = np.zeros((1, 6, 15, 3), np.float32)
+    am = np.zeros((1, 6, 15), bool)
+    am[0, :3] = True
+    sb = StructureBatch.from_xyz(xyz, am)
+    # corrupt padding with a -2 chain idx and garbage residue_idx
+    sb = sb.replace(
+        chain_idx=sb.chain_idx.at[0, 4].set(-2),
+        residue_idx=sb.residue_idx.at[0, 5].set(99))
+    problems = validate_batch(sb, raise_on_error=False)
+    assert any("chain_idx not -1" in p for p in problems)
+    assert any("residue_idx not -1" in p for p in problems)
