@@ -902,5 +902,39 @@ def main():
     )
 
 
+def _relay_guard():
+    """Fail fast with an honest JSON line when the TPU relay is down.
+
+    The axon backend init has no timeout — with the relay unreachable the
+    in-process jax call can hang indefinitely (observed 6+ h outages,
+    2026-08-18).  Probe in a subprocess with a hard timeout BEFORE any
+    in-process jax initialization so the driver gets a diagnostic line
+    instead of a silent hang.
+    """
+    import subprocess
+    import sys as _sys
+
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=420)
+        ok = r.returncode == 0
+        backend = r.stdout.strip()
+    except subprocess.TimeoutExpired:
+        ok, backend = False, "timeout"
+    if not ok:
+        print(json.dumps({
+            "metric": "full_featurization_B256_L512_structures_per_s",
+            "value": None,
+            "unit": "structures/s",
+            "vs_baseline": None,
+            "error": f"TPU relay unavailable (probe: {backend or 'init failed'})",
+        }))
+        raise SystemExit(3)
+    log(f"relay probe ok: backend={backend}")
+
+
 if __name__ == "__main__":
+    _relay_guard()
     main()
