@@ -147,6 +147,7 @@ def cmd_score(args) -> int:
     complementing ``fold`` the way the reference's metrics consumers
     (README.md:7-12 positions it as a DL-pipeline feeder) would expect."""
     import jax.numpy as jnp
+    import numpy as np
 
     from protstruc_tpu.ops import metrics as M
 
@@ -170,6 +171,19 @@ def cmd_score(args) -> int:
     n_chains = int(native.chain_idx.max()) + 1
     if n_chains >= 2:
         rec_ids = {int(x) for x in args.receptor_chains.split(",")}
+        # validate the split BEFORE computing: an empty receptor or ligand
+        # group sends masked_kabsch a zero weight sum and DockQ comes back
+        # NaN — which json.dumps would emit as an unparseable token
+        present = {int(x) for x in np.unique(np.asarray(native.chain_idx))
+                   if x >= 0}
+        if not (rec_ids & present):
+            print(f"--receptor-chains {sorted(rec_ids)} matches no chain "
+                  f"(present: {sorted(present)})", file=sys.stderr)
+            return 2
+        if not (present - rec_ids):
+            print(f"--receptor-chains {sorted(rec_ids)} leaves no ligand "
+                  f"chain (present: {sorted(present)})", file=sys.stderr)
+            return 2
         rec = jnp.isin(native.chain_idx, jnp.asarray(sorted(rec_ids))) & mask
         lig = (~jnp.isin(native.chain_idx, jnp.asarray(sorted(rec_ids)))) & mask
         q = float(M.dockq(model.xyz, native.xyz,

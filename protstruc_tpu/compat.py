@@ -51,16 +51,18 @@ def _to_numpy(out):
 
 
 def with_array(fn: Callable) -> Callable:
-    """Echo NumPy: if no positional arg is a JAX array, return NumPy arrays.
+    """Echo NumPy: if no argument is a JAX array, return NumPy arrays.
 
     Behavioral analogue of the reference's ``with_tensor`` (decorator.py:5-53)
     for the JAX backend; handles tuple/list/dict outputs like the original.
+    Keyword arguments count toward the type-echo decision exactly like the
+    reference (decorator.py:27-30 checks kwargs.values() too).
     """
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
         out = fn(*args, **kwargs)
-        if _any_jax(args):
+        if _any_jax(args) or _any_jax(kwargs.values()):
             return out
         return _to_numpy(out)
 

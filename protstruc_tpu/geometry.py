@@ -38,10 +38,16 @@ __all__ = [
     "place_fourth_atom",
     "ideal_local_frame",
     "ideal_backbone_coordinates",
+    "ideal_carbonyl_oxygen",
     "fix_chirality",
     "gram_schmidt",
     "kabsch",
     "masked_kabsch",
+    # reconstruction entry points forwarded via __getattr__ (the reference
+    # exposes them from its geometry module) — listed so star-imports and
+    # the compat NumPy-echo layer cover them
+    "reconstruct_backbone_distmat_from_interresidue_geometry",
+    "initialize_backbone_with_mds",
 ]
 
 
@@ -87,7 +93,19 @@ def angle(a, b, c, to_degree: bool = False) -> jnp.ndarray:
     ba = a - b
     bc = c - b
     cos = dot(ba, bc) / (norm(ba) * norm(bc))
-    theta = jnp.arccos(cos)
+    # pin (anti)parallel configurations explicitly: rounding pushes |cos|
+    # marginally above 1 for collinear-but-distinct points and raw arccos
+    # returns NaN — indistinguishable from the missing-atom NaN.  Double-
+    # where keeps the arccos input strictly interior (finite gradient);
+    # the saturated branch returns the exact boundary angle.  A NaN cosine
+    # (coincident points, 0/0) stays NaN — that IS the load-bearing
+    # missing/degenerate convention the probes pin.
+    was_nan = jnp.isnan(cos)
+    cos = jnp.clip(cos, -1.0, 1.0)
+    near = jnp.abs(cos) < 1.0 - 1e-7
+    theta = jnp.where(near, jnp.arccos(jnp.where(near, cos, 0.0)),
+                      jnp.where(cos > 0.0, 0.0, jnp.pi))
+    theta = jnp.where(was_nan, jnp.nan, theta)
     if to_degree:
         theta = jnp.degrees(theta)
     return jnp.squeeze(theta, axis=-1)
@@ -109,13 +127,18 @@ def dihedral(a, b, c, d, to_degree: bool = False) -> jnp.ndarray:
     n1 = jnp.cross(b2, b1)
     m = jnp.cross(n0, n1)
 
-    # "+ 0.0" canonicalizes IEEE -0.0 to +0.0 so degenerate (zero-vector)
-    # configurations give atan2(+0, +0) = 0 like the reference, instead of
-    # a sign-of-zero-dependent +/-pi.
-    x = dot(n0, n1) + 0.0          # ~ cos(theta)
-    y = dot(m, b1) / norm(b1) + 0.0  # ~ sin(theta)
+    x = dot(n0, n1)                # ~ cos(theta)
+    y = dot(m, b1) / norm(b1)      # ~ sin(theta)
 
-    theta = jnp.arctan2(y, x)
+    # pin degenerate (zero-vector) configurations to 0 EXPLICITLY: the
+    # previous "+ 0.0" sign-of-zero canonicalization is exactly the kind
+    # of identity XLA simplifies away under jit (ops/pairwise.py documents
+    # the same trap), after which atan2(+/-0, +/-0) lands on a
+    # backend-dependent +/-pi instead of the reference's 0
+    deg = (x == 0.0) & (y == 0.0)
+    theta = jnp.where(deg, 0.0,
+                      jnp.arctan2(jnp.where(deg, 1.0, y),
+                                  jnp.where(deg, 1.0, x)))
     if to_degree:
         theta = jnp.degrees(theta)
     return jnp.squeeze(theta, axis=-1)
@@ -316,6 +339,8 @@ def masked_kabsch(a, b, weights) -> Tuple[jnp.ndarray, jnp.ndarray]:
     r = jnp.einsum("...ij,...j,...kj->...ik", v, diag, u, precision="highest")
 
     t = jnp.squeeze(centroid_b, -2) - jnp.einsum(
-        "...ij,...j->...i", r, jnp.squeeze(centroid_a, -2)
+        "...ij,...j->...i", r, jnp.squeeze(centroid_a, -2),
+        precision="highest",  # coordinate path: bf16 default on TPU would
+        # put ~0.05 A into t at typical centroid magnitudes
     )
     return r, t

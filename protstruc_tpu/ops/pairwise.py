@@ -35,11 +35,21 @@ __all__ = [
 
 
 def _atom_cols(xyz: jnp.ndarray, names: Sequence[str]) -> List[jnp.ndarray]:
-    """Select atom columns by name: ``(B, L, A, 3) -> [(B, L, 3), ...]``."""
+    """Select atom columns by name: ``(B, L, A, 3) -> [(B, L, 3), ...]``.
+
+    🔧 reference bug FIXED (general.py:19 vs protstruc.py:605-607): the
+    reference validates with the upper-casing ``is_valid`` but indexes the
+    enum directly, so a mixed-case name like "cA" passes validation and
+    then raises a raw KeyError; normalize the lookup the same way the
+    validator does.
+    """
     for a in names:
         if not ATOM.is_valid(a):
             raise ValueError(f"Atom {a} is not valid.")
-    return [xyz[:, :, int(ATOM[a])] for a in names]
+    return [
+        xyz[:, :, int(ATOM[a] if a in ATOM.__members__ else ATOM[a.upper()])]
+        for a in names
+    ]
 
 
 def pairwise_atom_distance(

@@ -203,7 +203,11 @@ def geodesic_interp(r0: jnp.ndarray, r1: jnp.ndarray, alpha) -> jnp.ndarray:
 
     ``alpha = 0`` gives ``r0``, ``alpha = 1`` gives ``r1``.
     """
-    rel = jnp.einsum("...ji,...jk->...ik", r0, r1)  # r0^T r1
+    # pin precision: late in sampling r0 ~ r1, so rel = I + delta with
+    # |delta| below bf16 resolution — the default-TPU bf16 product would
+    # swamp the geodesic direction with matmul noise
+    rel = jnp.einsum("...ji,...jk->...ik", r0, r1,
+                     precision="highest")  # r0^T r1
     v = rot_to_rotvec(rel)
     alpha = jnp.asarray(alpha)[..., None]
     return jnp.einsum("...ij,...jk->...ik", r0, rotvec_to_rot(v * alpha),

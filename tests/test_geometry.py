@@ -252,3 +252,48 @@ def test_ideal_carbonyl_oxygen_chain_breaks():
     # bond geometry stays ideal everywhere
     np.testing.assert_allclose(np.linalg.norm(o - c, axis=-1), ideal.CO,
                                atol=1e-5)
+
+
+def test_angle_collinear_points_pinned_not_nan():
+    """Collinear-but-distinct points: rounding can push |cos| above 1;
+    the angle must pin to 0/pi, never NaN (NaN is reserved for
+    coincident/missing atoms)."""
+    rng = np.random.RandomState(0)
+    bad = 0
+    for _ in range(2000):
+        a = rng.randn(3).astype(np.float32)
+        c1 = -1.37 * a  # antiparallel through the origin
+        c2 = 2.29 * a   # parallel
+        th1 = float(geom.angle(a, np.zeros(3, np.float32), c1))
+        th2 = float(geom.angle(a, np.zeros(3, np.float32), c2))
+        if np.isnan(th1) or np.isnan(th2):
+            bad += 1
+            continue
+        assert abs(th1 - np.pi) < 1e-3
+        assert abs(th2) < 1e-3
+    assert bad == 0
+
+    # coincident points stay NaN (the load-bearing degenerate convention)
+    p = np.ones(3, np.float32)
+    assert np.isnan(float(geom.angle(p, p, p)))
+
+
+def test_angle_gradient_finite_at_collinear():
+    import jax
+    import jax.numpy as jnp
+
+    def loss(a):
+        return jnp.sum(geom.angle(a, jnp.zeros(3), -2.0 * a) ** 2)
+
+    g = jax.grad(loss)(jnp.asarray([1.0, 2.0, 3.0]))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_dihedral_degenerate_pinned_to_zero():
+    """Coincident first two atoms (zero normal vectors): the dihedral is
+    pinned to exactly 0 — not a backend-dependent sign-of-zero +/-pi."""
+    a = np.asarray([1.0, 0.0, 0.0], np.float32)
+    b = a.copy()
+    c = np.asarray([0.0, 1.0, 0.0], np.float32)
+    d = np.asarray([0.0, 1.0, 1.0], np.float32)
+    assert float(geom.dihedral(a, b, c, d)) == 0.0
