@@ -902,6 +902,30 @@ def main():
     )
 
 
+def run_cpu_lanes():
+    """Degraded certification lanes that need no TPU (relay-outage mode).
+
+    Everything host-side or interpret-mode verifiable still gets certified
+    into the round artifact when the relay is down: kernel/model parity
+    (interpret vs jnp oracle; the Mosaic tiers log themselves as skipped),
+    and the python/native ingest lanes (pure host work).  Timings here are
+    CPU numbers — the [cpu-fallback] banner keeps them from being read as
+    chip throughput.
+    """
+    jax.config.update("jax_platforms", "cpu")
+    log("[cpu-fallback] TPU relay down — running host/interpret lanes only; "
+        "all timings below are CPU, NOT chip numbers")
+    for fn, name in [(lambda: parity_check(0.0), "parity"),
+                     (lambda: model_parity_check(0.0), "model-parity"),
+                     (run_ingest, "ingest"),
+                     (run_ingest_sustained, "ingest-sustained")]:
+        try:
+            fn()
+        except Exception as e:
+            log(f"[cpu-fallback][{name}] FAILED: {type(e).__name__}: {e}")
+    log("[cpu-fallback] lanes done")
+
+
 def _relay_guard():
     """Fail fast with an honest JSON line when the TPU relay is down.
 
@@ -909,8 +933,11 @@ def _relay_guard():
     in-process jax call can hang indefinitely (observed 6+ h outages,
     2026-08-18).  Probe in a subprocess with a hard timeout BEFORE any
     in-process jax initialization so the driver gets a diagnostic line
-    instead of a silent hang.
+    instead of a silent hang.  Before emitting the diagnostic, run the
+    CPU-certifiable lanes in a forced-CPU subprocess so an outage at
+    round end still leaves parity + ingest evidence in the artifact.
     """
+    import os
     import subprocess
     import sys as _sys
 
@@ -924,17 +951,27 @@ def _relay_guard():
     except subprocess.TimeoutExpired:
         ok, backend = False, "timeout"
     if not ok:
+        try:  # stderr inherited: the [cpu-fallback] lines land in the artifact
+            env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+            subprocess.run([_sys.executable, __file__, "--cpu-lanes"],
+                           env=env, stdout=subprocess.DEVNULL, timeout=2400)
+        except Exception as e:
+            log(f"[cpu-fallback] lanes failed to run: {type(e).__name__}: {e}")
         print(json.dumps({
             "metric": "full_featurization_B256_L512_structures_per_s",
             "value": None,
             "unit": "structures/s",
             "vs_baseline": None,
-            "error": f"TPU relay unavailable (probe: {backend or 'init failed'})",
+            "error": f"TPU relay unavailable (probe: {backend or 'init failed'});"
+                     " CPU-certifiable lanes logged to stderr",
         }))
         raise SystemExit(3)
     log(f"relay probe ok: backend={backend}")
 
 
 if __name__ == "__main__":
-    _relay_guard()
-    main()
+    if "--cpu-lanes" in sys.argv:
+        run_cpu_lanes()
+    else:
+        _relay_guard()
+        main()
