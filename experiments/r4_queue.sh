@@ -10,7 +10,9 @@ set -u
 cd /root/repo
 
 probe() {
-  timeout 240 python -c "import jax; assert jax.default_backend() == 'axon'" 2>/dev/null
+  # The relay registers the experimental 'axon' platform but reports
+  # default_backend() == 'tpu' (validated live 2026-08-18); accept either.
+  timeout 240 python -c "import jax; assert jax.default_backend() in ('axon', 'tpu')" 2>/dev/null
 }
 
 wait_relay() {
