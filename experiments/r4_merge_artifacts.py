@@ -8,14 +8,44 @@ so both triangle generalization runs were retrained from scratch
 post-fix report and stamps the provenance.
 
 Usage: python experiments/r4_merge_artifacts.py [src] [dst]
+       python experiments/r4_merge_artifacts.py --update-modes [src] [dst]
+
+With ``--update-modes`` only the modes present in src replace their
+counterparts in dst (used for the sequence_triangle 4k -> 12k extension
+run, which re-reports just that mode), instead of replacing the whole
+artifact.
 """
 
 import json
 import sys
 
-SRC = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gen_r4b.json"
-DST = (sys.argv[2] if len(sys.argv) > 2
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+SRC = ARGS[0] if ARGS else "/tmp/gen_r4b.json"
+DST = (ARGS[1] if len(ARGS) > 1
        else "docs/quality/fold_generalization_r4_triangle.json")
+
+
+def update_modes():
+    """Mode-wise merge: src's modes overwrite dst's, provenance appended."""
+    with open(SRC) as fh:
+        report = json.load(fh)
+    with open(DST) as fh:
+        merged = json.load(fh)
+    for mode, entry in report.get("modes", {}).items():
+        prev = merged["modes"].get(mode)
+        if prev is not None:
+            entry = dict(entry)
+            entry["previous"] = {k: prev[k]
+                                 for k in ("heldout_mean", "final_loss")
+                                 if k in prev}
+        merged["modes"][mode] = entry
+    merged.setdefault("notes", []).append(
+        "mode(s) %s updated from %s (resumed training to a larger total "
+        "step budget)" % (sorted(report.get("modes", {})), SRC))
+    with open(DST, "w") as fh:
+        json.dump(merged, fh, indent=2)
+    print(json.dumps({m: merged["modes"][m]["heldout_mean"]
+                      for m in merged["modes"]}))
 
 
 def main():
@@ -41,4 +71,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--update-modes" in sys.argv:
+        update_modes()
+    else:
+        main()
