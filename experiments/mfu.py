@@ -31,7 +31,7 @@ def log(*a):
 
 
 def measure(D, P, blocks, L=512, B=4, pair_update="mix", dtype_name="bf16",
-            remat=False, heads=8):
+            remat=False, heads=8, remat_policy="none"):
     import optax
 
     from protstruc_tpu.models.trfold import (
@@ -40,7 +40,8 @@ def measure(D, P, blocks, L=512, B=4, pair_update="mix", dtype_name="bf16",
 
     dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
     cfg = TrFoldConfig(node_dim=D, pair_dim=P, n_heads=heads, n_blocks=blocks,
-                       dtype=dtype, pair_update=pair_update, remat=remat)
+                       dtype=dtype, pair_update=pair_update, remat=remat,
+                       remat_policy=remat_policy)
     model = TrFold(cfg)
 
     rng = np.random.RandomState(0)
@@ -64,7 +65,9 @@ def measure(D, P, blocks, L=512, B=4, pair_update="mix", dtype_name="bf16",
         flops = float("nan")
 
     name = (f"D={D} P={P} b={blocks} L={L} B={B} {pair_update}"
-            f"{'+remat' if remat else ''} {dtype_name}")
+            f"{'+remat' if remat else ''}"
+            f"{'/' + remat_policy if remat and remat_policy != 'none' else ''}"
+            f" {dtype_name}")
     t0 = time.perf_counter()
     params, opt_state, loss = jstep(params, opt_state, feats)
     l0 = float(loss)
@@ -110,6 +113,14 @@ DEFAULT_SWEEP = [
     # batch scaling at the big config (amortize optimizer HBM traffic)
     dict(D=512, P=256, blocks=6, pair_update="triangle", remat=True, B=8,
          L=384),
+    # remat_policy="tri_dots": save the triangle-contraction outputs so the
+    # backward skips the O(L^3 P) recompute.  NOTE: cost_analysis flops
+    # DROP with the recompute gone, so compare ms/step at fixed config —
+    # pct_bf16_peak across policies is not apples-to-apples.
+    dict(D=512, P=256, blocks=6, pair_update="triangle", remat=True,
+         remat_policy="tri_dots"),
+    dict(D=640, P=320, blocks=6, pair_update="triangle", remat=True, L=384,
+         remat_policy="tri_dots"),
 ]
 
 

@@ -220,6 +220,7 @@ def cmd_train(args) -> int:
         ema_decay=args.ema_decay,
         save_every=args.save_every, seed=args.seed, bf16=args.bf16,
         pair_update=args.pair_update, remat=args.remat,
+        remat_policy=args.remat_policy,
         mesh_shape=(tuple(int(x) for x in args.mesh.split(","))
                     if args.mesh else None),
         zero1=args.zero1,
@@ -419,6 +420,11 @@ def main(argv=None) -> int:
     t.add_argument("--remat", action="store_true",
                    help="rematerialize trunk blocks on backward "
                         "(fits long-L / triangle training in HBM)")
+    t.add_argument("--remat-policy", default="none",
+                   choices=("none", "tri_dots", "dots"),
+                   help="with --remat: 'tri_dots' saves the triangle-"
+                        "contraction outputs so backward skips the "
+                        "O(L^3 P) einsums (more HBM, fewer FLOPs)")
     t.add_argument("--mesh", default=None,
                    help="dp,sp,tp device mesh, e.g. 4,2,1")
     t.add_argument("--zero1", action="store_true",

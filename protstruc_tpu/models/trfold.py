@@ -30,6 +30,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import optax
+from jax.ad_checkpoint import checkpoint_name
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
@@ -70,6 +71,18 @@ class TrFoldConfig:
     # ~1 extra forward for O(n_blocks x L^2 P) less HBM — the lever that
     # fits long-L training on one chip.
     remat: bool = False
+    # Remat policy (applies only when remat=True):
+    #   "none"     — save nothing, recompute the whole block (max savings).
+    #   "tri_dots" — save the two triangle-contraction outputs per block
+    #                (checkpoint_name "tri_prod"); the backward pass then
+    #                skips recomputing the O(L^3 P) einsums — the dominant
+    #                FLOPs at production widths — for 2 x (B, L, L, P)
+    #                extra HBM per block.  Values and param tree identical.
+    #   "dots"     — jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    #                (saves unbatched matmul outputs; the batched triangle
+    #                einsums still recompute — mostly useful for node-stream
+    #                heavy configs).
+    remat_policy: str = "none"
     # Pair-update mechanism: "gated_mix" (default — gated row/column mixing,
     # a lightweight O(L^2 P) stand-in) or "triangle" (true Evoformer
     # triangle multiplicative updates, outgoing + incoming, each a gated
@@ -219,6 +232,18 @@ class PairBiasAttention(nn.Module):
         return nn.DenseGeneral(cfg.node_dim, axis=(-2, -1), name="out", dtype=cfg.dtype)(out)
 
 
+def _remat_policy(name: str):
+    """Resolve TrFoldConfig.remat_policy to a jax.checkpoint policy."""
+    if name == "none":
+        return None  # save nothing: full per-block recompute
+    if name == "tri_dots":
+        return jax.checkpoint_policies.save_only_these_names("tri_prod")
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(
+        f"remat_policy must be 'none', 'tri_dots' or 'dots', got {name!r}")
+
+
 class _SplitDense(nn.Module):
     """Dense over the concatenation of two inputs WITHOUT materializing it.
 
@@ -317,6 +342,9 @@ class TriangleMultiplication(nn.Module):
             prod = jnp.einsum("bikc,bjkc->bijc", a, b)
         else:
             prod = jnp.einsum("bkic,bkjc->bijc", a, b)
+        # name the O(L^3 P) contraction output so remat_policy="tri_dots"
+        # can save it across the backward pass instead of recomputing it
+        prod = checkpoint_name(prod, "tri_prod")
 
         g = nn.sigmoid(nn.Dense(C, name="out_gate", dtype=cfg.dtype)(src))
         upd = nn.Dense(C, name="out_proj", dtype=cfg.dtype)(
@@ -385,7 +413,10 @@ class TrFold(nn.Module):
                                      dtype=cfg.dtype)
         # nn.remat is a lifted transform: wrapping the class keeps the param
         # tree identical, so checkpoints load across the remat flag
-        block_cls = nn.remat(TrFoldBlock) if cfg.remat else TrFoldBlock
+        block_cls = (
+            nn.remat(TrFoldBlock, policy=_remat_policy(cfg.remat_policy))
+            if cfg.remat else TrFoldBlock
+        )
         self.blocks = [
             block_cls(cfg, name=f"block_{i}") for i in range(cfg.n_blocks)
         ]

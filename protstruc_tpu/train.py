@@ -81,6 +81,10 @@ class TrainConfig:
     # remat=True at production widths)
     pair_update: str = "gated_mix"
     remat: bool = False
+    # remat policy (with remat=True): "none" recomputes the whole block;
+    # "tri_dots" saves the triangle-contraction outputs so the backward
+    # pass skips the O(L^3 P) einsums (models/trfold.py _remat_policy)
+    remat_policy: str = "none"
     # observability: append {"step", "loss", "ms", "t"} lines to
     # <checkpoint_dir>/metrics.jsonl every log interval; capture an XProf
     # trace of steps 3-6 into profile_dir when set
@@ -209,7 +213,7 @@ def _build_model(cfg: TrainConfig):
     trunk = TrFoldConfig(node_dim=cfg.node_dim, pair_dim=cfg.pair_dim,
                          n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
                          dtype=dtype, pair_update=cfg.pair_update,
-                         remat=cfg.remat)
+                         remat=cfg.remat, remat_policy=cfg.remat_policy)
     return FoldModel(
         trunk_cfg=trunk,
         ipa_cfg=IPAConfig(n_heads=cfg.n_heads, n_iter=cfg.n_ipa_iter),

@@ -131,6 +131,58 @@ class TestRemat:
         for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_r)):
             np.testing.assert_allclose(a, b, atol=1e-5)
 
+    def test_remat_policy_matches(self):
+        """remat_policy must change neither values nor grads (it only
+        changes WHICH intermediates the backward pass recomputes), and
+        'tri_dots' must cut the backward recompute flops vs 'none'."""
+        import dataclasses
+
+        import numpy as np
+
+        import protstruc_tpu as ps
+        from protstruc_tpu.models.trfold import (
+            TrFold, TrFoldConfig, featurize_for_model, loss_fn)
+
+        rng = np.random.RandomState(1)
+        xyz = rng.randn(1, 24, 15, 3).astype(np.float32) * 5.0
+        sb = ps.StructureBatch.from_xyz(xyz)
+        feats = featurize_for_model(sb)
+
+        cfg = TrFoldConfig(node_dim=32, pair_dim=16, n_heads=2, n_blocks=2,
+                           pair_update="triangle", remat=True)
+        model = TrFold(cfg)
+        params = model.init(jax.random.PRNGKey(0), feats)["params"]
+
+        grads, flops = {}, {}
+        for policy in ("none", "tri_dots", "dots"):
+            m = TrFold(dataclasses.replace(cfg, remat_policy=policy))
+            p = m.init(jax.random.PRNGKey(0), feats)["params"]
+            assert (jax.tree_util.tree_structure(p)
+                    == jax.tree_util.tree_structure(params))
+            grads[policy] = jax.grad(loss_fn)(params, m, feats)
+            compiled = (jax.jit(jax.grad(loss_fn), static_argnums=1)
+                        .lower(params, m, feats).compile())
+            try:
+                flops[policy] = float(compiled.cost_analysis()["flops"])
+            except Exception:
+                flops[policy] = None
+
+        leaves0 = jax.tree_util.tree_leaves(grads["none"])
+        for policy in ("tri_dots", "dots"):
+            for a, b in zip(leaves0, jax.tree_util.tree_leaves(grads[policy])):
+                np.testing.assert_allclose(a, b, atol=1e-5)
+        # the saved contraction outputs must actually remove recompute work
+        if flops["none"] and flops["tri_dots"]:
+            assert flops["tri_dots"] < flops["none"]
+
+    def test_remat_policy_rejects_unknown(self):
+        import pytest
+
+        from protstruc_tpu.models.trfold import _remat_policy
+
+        with pytest.raises(ValueError, match="remat_policy"):
+            _remat_policy("everything")
+
 
 class TestChiFeatures:
     def test_include_chi(self):
