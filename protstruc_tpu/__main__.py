@@ -239,9 +239,12 @@ def cmd_fold(args) -> int:
     from protstruc_tpu.pdbio.writer import to_pdb
     from protstruc_tpu.train import fold_sequence
 
+    step = args.step
+    if step is not None and step != "best":
+        step = int(step)
     coords, plddt, pae = fold_sequence(args.checkpoint_dir, args.seq,
                                        n_recycle=args.recycle,
-                                       return_confidence=True)
+                                       return_confidence=True, step=step)
     chains = args.seq.upper().split(":")
     chain_ids = [chr(ord("A") + i) for i in range(len(chains))]
     n_res = sum(len(c) for c in chains)
@@ -452,6 +455,10 @@ def main(argv=None) -> int:
     fd.add_argument("--seq", required=True, help="one-letter sequence")
     fd.add_argument("--out", default="fold.pdb")
     fd.add_argument("--recycle", type=int, default=None)
+    fd.add_argument("--step", default=None,
+                    help="checkpoint step to load: an int, or 'best' for "
+                         "the best held-out eval_ca_lddt recorded in "
+                         "metrics.jsonl (default: latest)")
     fd.add_argument("--relax", type=int, default=0, metavar="STEPS",
                     help="gradient-relax the output for STEPS steps")
     fd.set_defaults(fn=cmd_fold)

@@ -12,7 +12,8 @@ from typing import Any, Optional, Tuple
 
 import jax
 
-__all__ = ["save_train_state", "restore_train_state", "latest_step"]
+__all__ = ["save_train_state", "restore_train_state", "latest_step",
+           "all_steps"]
 
 
 def _mgr(directory: str):
@@ -39,6 +40,12 @@ def save_train_state(directory: str, step: int, params, opt_state) -> None:
 def latest_step(directory: str) -> Optional[int]:
     with _mgr(directory) as mgr:
         return mgr.latest_step()
+
+
+def all_steps(directory: str) -> list:
+    """Sorted list of every step with a checkpoint under ``directory``."""
+    with _mgr(directory) as mgr:
+        return sorted(mgr.all_steps())
 
 
 def restore_train_state(

@@ -33,7 +33,8 @@ from typing import Any, NamedTuple, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-__all__ = ["TrainConfig", "train", "fold_sequence", "load_fold_model"]
+__all__ = ["TrainConfig", "train", "fold_sequence", "load_fold_model",
+           "best_eval_step"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -458,16 +459,68 @@ def train(
     return result
 
 
-def load_fold_model(checkpoint_dir: str, use_ema: bool = True):
+def best_eval_step(checkpoint_dir: str,
+                   metric: str = "eval_ca_lddt") -> Optional[int]:
+    """Checkpointed step with the best recorded held-out eval metric.
+
+    Reads <checkpoint_dir>/metrics.jsonl (written by :func:`train` when
+    ``eval_paths`` is given) and returns the step with the best ``metric``
+    among steps that actually have a checkpoint.  Higher is better except
+    for ``*rmsd*`` metrics.  Returns None when no eval rows coincide with
+    a saved checkpoint (e.g. training ran without ``eval_paths``).
+    """
+    from protstruc_tpu.models.checkpoint import all_steps
+
+    path = os.path.join(checkpoint_dir, "metrics.jsonl")
+    if not os.path.exists(path):
+        return None
+    saved = set(all_steps(checkpoint_dir))
+    best, best_v = None, None
+    lower_is_better = "rmsd" in metric
+    with open(path) as fh:
+        for line in fh:
+            try:
+                row = json.loads(line)
+            except ValueError:
+                continue
+            v = row.get(metric)
+            if v is None or row.get("step") not in saved:
+                continue
+            if (best_v is None or (v < best_v if lower_is_better
+                                   else v > best_v)):
+                best, best_v = int(row["step"]), v
+    return best
+
+
+def load_fold_model(checkpoint_dir: str, use_ema: bool = True, step=None):
     """Rebuild (model, params, cfg) from a training checkpoint dir.
 
     When the checkpoint was trained with ``ema_decay > 0`` (the EMA tree
     rides inside the optimizer state), the returned params are the EMA
     weights — the standard inference choice; pass ``use_ema=False`` for
     the raw last-step params.
+
+    ``step`` selects which checkpoint to load: ``None`` (default) takes
+    the latest, an int takes that exact step, and ``"best"`` takes the
+    step with the best held-out ``eval_ca_lddt`` recorded in
+    metrics.jsonl (:func:`best_eval_step`) — eval curves routinely peak
+    before the final step, so "best" is the standard inference choice
+    when training ran with ``eval_paths``.  Falls back to the latest
+    (with a warning) when no eval record matches a saved checkpoint.
     """
     from protstruc_tpu.models.checkpoint import restore_train_state
     from protstruc_tpu.models.trfold import featurize_from_sequence
+
+    if step == "best":
+        step = best_eval_step(checkpoint_dir)
+        if step is None:
+            import warnings
+
+            warnings.warn(
+                f"load_fold_model(step='best'): no eval metric rows match "
+                f"a saved checkpoint under {checkpoint_dir!r} (was training "
+                "run with eval_paths?); loading the latest step instead.",
+                stacklevel=2)
 
     with open(os.path.join(checkpoint_dir, "config.json")) as fh:
         cfg = TrainConfig.from_json(fh.read())
@@ -489,12 +542,12 @@ def load_fold_model(checkpoint_dir: str, use_ema: bool = True):
     params_like = model.init(jax.random.PRNGKey(0), dummy)["params"]
     if use_ema and cfg.ema_decay > 0.0:
         opt_like = _build_tx(cfg).init(params_like)
-        _, opt_state, step = restore_train_state(
-            checkpoint_dir, params_like=params_like,
+        _, opt_state, _step = restore_train_state(
+            checkpoint_dir, step=step, params_like=params_like,
             opt_state_like=opt_like)
         return model, _find_ema(opt_state), cfg
-    params, _, step = restore_train_state(checkpoint_dir,
-                                          params_like=params_like)
+    params, _, _step = restore_train_state(checkpoint_dir, step=step,
+                                           params_like=params_like)
     return model, params, cfg
 
 
@@ -503,6 +556,7 @@ def fold_sequence(
     sequence: str,
     n_recycle: Optional[int] = None,
     return_confidence: bool = False,
+    step=None,
 ):
     """Sequence string -> predicted backbone ``(L, 5, 3)`` N/CA/C/O/CB.
 
@@ -515,7 +569,7 @@ def fold_sequence(
     (L, L))`` — per-residue predicted lDDT in [0, 100] and the predicted
     aligned-error matrix in angstroms (the model's own calibration heads).
     """
-    model, params, cfg = load_fold_model(checkpoint_dir)
+    model, params, cfg = load_fold_model(checkpoint_dir, step=step)
     return fold_with_model(model, params, cfg, sequence,
                            n_recycle=n_recycle,
                            return_confidence=return_confidence)

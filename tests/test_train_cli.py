@@ -228,3 +228,60 @@ def test_train_triangle_remat_production_loop(small_pdb, tmp_path):
         train([small_pdb], ck,
               dataclasses.replace(cfg, pair_update="gated_mix"),
               log_fn=lambda *a: None)
+
+
+def test_best_eval_step_and_load(small_pdb, tmp_path):
+    """step='best' loads the checkpoint with the best recorded held-out
+    eval (eval curves routinely peak before the final step)."""
+    import warnings
+
+    import jax
+
+    from protstruc_tpu.models.checkpoint import restore_train_state
+    from protstruc_tpu.train import (
+        TrainConfig, best_eval_step, load_fold_model, train)
+
+    ck = str(tmp_path / "ck_best")
+    cfg = TrainConfig(steps=3, batch_size=1, node_dim=16, pair_dim=8,
+                      n_heads=2, n_blocks=1, n_ipa_iter=2, n_recycle=0,
+                      save_every=1, shuffle=False)
+    train([small_pdb], ck, cfg, log_fn=lambda *a: None)
+
+    # fabricate the eval curve: best at step 2; step 999 has no
+    # checkpoint and must be ignored even though its metric is higher
+    with open(os.path.join(ck, "metrics.jsonl"), "w") as fh:
+        for step, v in [(1, 0.2), (2, 0.9), (3, 0.5), (999, 1.0)]:
+            fh.write(json.dumps({"step": step, "eval_ca_lddt": v}) + "\n")
+        fh.write(json.dumps({"step": 2, "loss": 1.0}) + "\n")  # no metric
+        fh.write("not json\n")                                  # tolerated
+    assert best_eval_step(ck) == 2
+    # rmsd metrics select the minimum
+    with open(os.path.join(ck, "metrics.jsonl"), "a") as fh:
+        for step, v in [(1, 5.0), (2, 9.0), (3, 7.0)]:
+            fh.write(json.dumps({"step": step, "eval_ca_rmsd": v}) + "\n")
+    assert best_eval_step(ck, metric="eval_ca_rmsd") == 1
+
+    model, params, _ = load_fold_model(ck, step="best")
+    want, _, _ = restore_train_state(ck, step=2)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # explicit int step
+    _, params1, _ = load_fold_model(ck, step=1)
+    want1, _, _ = restore_train_state(ck, step=1)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(params1)[0]),
+        np.asarray(jax.tree_util.tree_leaves(want1)[0]))
+
+    # no eval rows matching a saved checkpoint -> warn + fall back to latest
+    os.remove(os.path.join(ck, "metrics.jsonl"))
+    assert best_eval_step(ck) is None
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _, params_fb, _ = load_fold_model(ck, step="best")
+    assert any("best" in str(x.message) for x in w)
+    want3, _, _ = restore_train_state(ck, step=3)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(params_fb)[0]),
+        np.asarray(jax.tree_util.tree_leaves(want3)[0]))
