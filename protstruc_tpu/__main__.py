@@ -273,7 +273,7 @@ def cmd_fold(args) -> int:
 
 
 def serve_loop(infile, outfile, checkpoint_dir=None, batch_sizes=(1,),
-               buckets=(256, 512)) -> int:
+               buckets=(256, 512), step=None) -> int:
     """JSONL request/response loop (one JSON object per line).
 
     Requests:
@@ -333,7 +333,7 @@ def serve_loop(infile, outfile, checkpoint_dir=None, batch_sizes=(1,),
                 from protstruc_tpu.train import fold_with_model, load_fold_model
 
                 if fold_model is None:
-                    fold_model = load_fold_model(checkpoint_dir)
+                    fold_model = load_fold_model(checkpoint_dir, step=step)
                 coords, plddt, _pae = fold_with_model(
                     *fold_model, req["seq"], return_confidence=True)
                 chains = req["seq"].upper().split(":")
@@ -355,10 +355,14 @@ def serve_loop(infile, outfile, checkpoint_dir=None, batch_sizes=(1,),
 
 
 def cmd_serve(args) -> int:
+    step = args.step
+    if step is not None and step != "best":
+        step = int(step)
     return serve_loop(sys.stdin, sys.stdout,
                       checkpoint_dir=args.checkpoint_dir,
                       batch_sizes=(1,),
-                      buckets=tuple(int(b) for b in args.buckets.split(",")))
+                      buckets=tuple(int(b) for b in args.buckets.split(",")),
+                      step=step)
 
 
 def main(argv=None) -> int:
@@ -478,6 +482,9 @@ def main(argv=None) -> int:
                     help="enables the fold op")
     sv.add_argument("--buckets", default="256,512",
                     help="AOT length buckets to precompile")
+    sv.add_argument("--step", default=None,
+                    help="checkpoint step for the fold op: int or 'best' "
+                         "(default: latest)")
     sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
