@@ -468,6 +468,12 @@ def best_eval_step(checkpoint_dir: str,
     among steps that actually have a checkpoint.  Higher is better except
     for ``*rmsd*`` metrics.  Returns None when no eval rows coincide with
     a saved checkpoint (e.g. training ran without ``eval_paths``).
+
+    With ``ema_decay > 0`` the in-training eval curve is computed on the
+    raw params while ``load_fold_model`` returns the EMA weights, so the
+    selection metric is a proxy for the loaded model at that step —
+    normally fine (the EMA tracks the raw params), but pass
+    ``use_ema=False`` to load exactly what was evaluated.
     """
     from protstruc_tpu.models.checkpoint import all_steps
 
