@@ -215,7 +215,8 @@ def test_train_triangle_remat_production_loop(small_pdb, tmp_path):
     cfg = TrainConfig(steps=2, batch_size=1, node_dim=16, pair_dim=8,
                       n_heads=2, n_blocks=1, n_ipa_iter=2, n_recycle=0,
                       save_every=0, shuffle=False,
-                      pair_update="triangle", remat=True)
+                      pair_update="triangle", remat=True,
+                      remat_policy="tri_dots")
     m = train([small_pdb], ck, cfg, log_fn=lambda *a: None)
     assert np.isfinite(m["final_loss"])
     cfg_on_disk = json.load(open(os.path.join(ck, "config.json")))
