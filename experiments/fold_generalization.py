@@ -152,7 +152,11 @@ def run_mode(mode, steps, ck_root):
 
     return {
         "config": json.loads(cfg.to_json()),
-        "final_loss": round(result["final_loss"], 4),
+        # final_loss is None when a retry resumed a checkpoint already at
+        # the step target (train() skips the loop) — the retry chains
+        # re-enter here after a post-train crash and must not TypeError
+        "final_loss": (round(result["final_loss"], 4)
+                       if result["final_loss"] is not None else None),
         "train_seconds": seconds,
         "heldout_mean": {
             "ca_lddt": round(result["eval_ca_lddt"], 4),

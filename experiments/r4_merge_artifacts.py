@@ -39,9 +39,11 @@ def update_modes():
                                  for k in ("heldout_mean", "final_loss")
                                  if k in prev}
         merged["modes"][mode] = entry
-    merged.setdefault("notes", []).append(
-        "mode(s) %s updated from %s (resumed training to a larger total "
-        "step budget)" % (sorted(report.get("modes", {})), SRC))
+    extra = ("mode(s) %s updated from %s (resumed training to a larger "
+             "total step budget; per-mode 'previous' records the replaced "
+             "numbers)" % (sorted(report.get("modes", {})), SRC))
+    merged["note"] = (merged["note"] + "; " + extra
+                      if merged.get("note") else extra)
     with open(DST, "w") as fh:
         json.dump(merged, fh, indent=2)
     print(json.dumps({m: merged["modes"][m]["heldout_mean"]

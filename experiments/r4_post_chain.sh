@@ -16,6 +16,7 @@
 # driver's end-of-round commit) picks them up.
 set -u
 cd /root/repo
+echo $$ > /tmp/r4_chain.pid   # chain2's wait-gate must not depend on the launcher
 
 log() { echo "[chain] $1 $(date -u +%H:%M:%S)"; }
 
