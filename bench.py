@@ -919,9 +919,12 @@ def run_cpu_lanes():
                      (lambda: model_parity_check(0.0), "model-parity"),
                      (run_ingest, "ingest"),
                      (run_ingest_sustained, "ingest-sustained")]:
+        # the parity gates abort via SystemExit (not an Exception
+        # subclass); in degraded mode one failing lane must not take the
+        # remaining certification lanes with it
         try:
             fn()
-        except Exception as e:
+        except (Exception, SystemExit) as e:
             log(f"[cpu-fallback][{name}] FAILED: {type(e).__name__}: {e}")
     log("[cpu-fallback] lanes done")
 

@@ -233,18 +233,30 @@ def cmd_train(args) -> int:
     return 0
 
 
+def _step_arg(s):
+    """argparse type for --step: 'best' or an integer checkpoint step."""
+    if s == "best":
+        return s
+    try:
+        return int(s)
+    except ValueError:
+        import argparse as _ap
+
+        raise _ap.ArgumentTypeError(
+            f"--step must be an integer step or 'best', got {s!r}")
+
+
 def cmd_fold(args) -> int:
     import numpy as np
 
     from protstruc_tpu.pdbio.writer import to_pdb
     from protstruc_tpu.train import fold_sequence
 
-    step = args.step
-    if step is not None and step != "best":
-        step = int(step)
     coords, plddt, pae = fold_sequence(args.checkpoint_dir, args.seq,
                                        n_recycle=args.recycle,
-                                       return_confidence=True, step=step)
+                                       return_confidence=True,
+                                       step=args.step,
+                                       use_ema=not args.raw_params)
     chains = args.seq.upper().split(":")
     chain_ids = [chr(ord("A") + i) for i in range(len(chains))]
     n_res = sum(len(c) for c in chains)
@@ -273,7 +285,7 @@ def cmd_fold(args) -> int:
 
 
 def serve_loop(infile, outfile, checkpoint_dir=None, batch_sizes=(1,),
-               buckets=(256, 512), step=None) -> int:
+               buckets=(256, 512), step=None, use_ema=True) -> int:
     """JSONL request/response loop (one JSON object per line).
 
     Requests:
@@ -333,7 +345,8 @@ def serve_loop(infile, outfile, checkpoint_dir=None, batch_sizes=(1,),
                 from protstruc_tpu.train import fold_with_model, load_fold_model
 
                 if fold_model is None:
-                    fold_model = load_fold_model(checkpoint_dir, step=step)
+                    fold_model = load_fold_model(checkpoint_dir, step=step,
+                                                 use_ema=use_ema)
                 coords, plddt, _pae = fold_with_model(
                     *fold_model, req["seq"], return_confidence=True)
                 chains = req["seq"].upper().split(":")
@@ -355,14 +368,11 @@ def serve_loop(infile, outfile, checkpoint_dir=None, batch_sizes=(1,),
 
 
 def cmd_serve(args) -> int:
-    step = args.step
-    if step is not None and step != "best":
-        step = int(step)
     return serve_loop(sys.stdin, sys.stdout,
                       checkpoint_dir=args.checkpoint_dir,
                       batch_sizes=(1,),
                       buckets=tuple(int(b) for b in args.buckets.split(",")),
-                      step=step)
+                      step=args.step, use_ema=not args.raw_params)
 
 
 def main(argv=None) -> int:
@@ -459,10 +469,14 @@ def main(argv=None) -> int:
     fd.add_argument("--seq", required=True, help="one-letter sequence")
     fd.add_argument("--out", default="fold.pdb")
     fd.add_argument("--recycle", type=int, default=None)
-    fd.add_argument("--step", default=None,
+    fd.add_argument("--step", default=None, type=_step_arg,
                     help="checkpoint step to load: an int, or 'best' for "
                          "the best held-out eval_ca_lddt recorded in "
                          "metrics.jsonl (default: latest)")
+    fd.add_argument("--raw-params", action="store_true",
+                    help="load the raw last-step params instead of the EMA "
+                         "weights (EMA checkpoints only; the eval curve "
+                         "--step best selects on is computed on raw params)")
     fd.add_argument("--relax", type=int, default=0, metavar="STEPS",
                     help="gradient-relax the output for STEPS steps")
     fd.set_defaults(fn=cmd_fold)
@@ -482,9 +496,11 @@ def main(argv=None) -> int:
                     help="enables the fold op")
     sv.add_argument("--buckets", default="256,512",
                     help="AOT length buckets to precompile")
-    sv.add_argument("--step", default=None,
+    sv.add_argument("--step", default=None, type=_step_arg,
                     help="checkpoint step for the fold op: int or 'best' "
                          "(default: latest)")
+    sv.add_argument("--raw-params", action="store_true",
+                    help="load raw params instead of EMA weights")
     sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

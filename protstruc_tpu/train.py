@@ -450,9 +450,17 @@ def train(
     final_loss = losses[-1] if losses else None
     result = {"steps": step, "final_loss": final_loss, "seconds": dt}
     if eval_paths:
-        result.update(evaluate(model, params, eval_paths, cfg))
+        ev = evaluate(model, params, eval_paths, cfg)
+        result.update(ev)
         log_fn("[eval] final: " + " ".join(
             f"{k}={v:.3f}" for k, v in result.items() if k.startswith("eval")))
+        # persist the final checkpoint's eval like the in-loop ones: when
+        # cfg.steps is off the save_every cadence, step='best' could
+        # otherwise never select the final (possibly best) checkpoint
+        if cfg.metrics_jsonl:
+            with open(os.path.join(checkpoint_dir, "metrics.jsonl"),
+                      "a") as fh:
+                fh.write(json.dumps(dict(ev, step=step)) + "\n")
     log_fn(f"[train] done: {step - start_step} steps in {dt:.0f}s "
            f"({dt / max(step - start_step, 1) * 1e3:.0f} ms/step)"
            + (f", final loss {final_loss:.4f}" if losses else ""))
@@ -563,6 +571,7 @@ def fold_sequence(
     n_recycle: Optional[int] = None,
     return_confidence: bool = False,
     step=None,
+    use_ema: bool = True,
 ):
     """Sequence string -> predicted backbone ``(L, 5, 3)`` N/CA/C/O/CB.
 
@@ -575,7 +584,8 @@ def fold_sequence(
     (L, L))`` — per-residue predicted lDDT in [0, 100] and the predicted
     aligned-error matrix in angstroms (the model's own calibration heads).
     """
-    model, params, cfg = load_fold_model(checkpoint_dir, step=step)
+    model, params, cfg = load_fold_model(checkpoint_dir, step=step,
+                                         use_ema=use_ema)
     return fold_with_model(model, params, cfg, sequence,
                            n_recycle=n_recycle,
                            return_confidence=return_confidence)

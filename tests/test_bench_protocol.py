@@ -59,3 +59,23 @@ def test_bench_main_emits_single_json_line():
     assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
     assert rec["unit"] == "structures/s"
     assert rec["value"] > 0
+
+
+def test_cpu_fallback_lane_isolation(monkeypatch, capsys):
+    """One failing degraded-mode lane (parity gates abort via SystemExit,
+    not Exception) must not take the remaining certification lanes down."""
+    import bench
+
+    ran = []
+    monkeypatch.setattr(bench, "parity_check",
+                        lambda rtt: (_ for _ in ()).throw(SystemExit("boom")))
+    monkeypatch.setattr(bench, "model_parity_check",
+                        lambda rtt: ran.append("model-parity"))
+    monkeypatch.setattr(bench, "run_ingest", lambda: ran.append("ingest"))
+    monkeypatch.setattr(bench, "run_ingest_sustained",
+                        lambda: ran.append("ingest-sustained"))
+    bench.run_cpu_lanes()
+    assert ran == ["model-parity", "ingest", "ingest-sustained"]
+    err = capsys.readouterr().err
+    assert "[cpu-fallback][parity] FAILED: SystemExit" in err
+    assert "[cpu-fallback] lanes done" in err

@@ -286,3 +286,20 @@ def test_best_eval_step_and_load(small_pdb, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(jax.tree_util.tree_leaves(params_fb)[0]),
         np.asarray(jax.tree_util.tree_leaves(want3)[0]))
+
+
+def test_final_offcadence_eval_row_persisted(small_pdb, tmp_path):
+    """steps off the save_every cadence: the final checkpoint's eval must
+    still land in metrics.jsonl so step='best' can select it."""
+    from protstruc_tpu.train import TrainConfig, best_eval_step, train
+
+    ck = str(tmp_path / "ck_final_eval")
+    cfg = TrainConfig(steps=3, batch_size=1, node_dim=16, pair_dim=8,
+                      n_heads=2, n_blocks=1, n_ipa_iter=2, n_recycle=0,
+                      save_every=2, shuffle=False)
+    train([small_pdb], ck, cfg, eval_paths=[small_pdb],
+          log_fn=lambda *a: None)
+    rows = [json.loads(l) for l in open(os.path.join(ck, "metrics.jsonl"))]
+    eval_steps = {r["step"] for r in rows if "eval_ca_lddt" in r}
+    assert {2, 3} <= eval_steps
+    assert best_eval_step(ck) in (2, 3)
