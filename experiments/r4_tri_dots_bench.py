@@ -16,12 +16,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))   # experiments/
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from mfu import measure, log  # noqa: E402  (experiments/ sibling)
+from mfu import DEFAULT_SWEEP, measure, log  # noqa: E402  (experiments/ sibling)
 
-CONFIGS = [
-    dict(D=512, P=256, blocks=6, pair_update="triangle", remat=True),
-    dict(D=640, P=320, blocks=6, pair_update="triangle", remat=True, L=384),
-]
+# A/B the sweep's committed tri_dots rows (single source of truth): the
+# same config runs with remat_policy none vs tri_dots below.
+CONFIGS = [{k: v for k, v in kw.items() if k != "remat_policy"}
+           for kw in DEFAULT_SWEEP if kw.get("remat_policy") == "tri_dots"]
 
 
 def main():
