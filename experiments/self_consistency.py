@@ -149,6 +149,15 @@ def main():
     # sequence-only model) — VERDICT r3 item 9
     ext_ck = next((a.split("=", 1)[1] for a in sys.argv
                    if a.startswith("refolder=")), None)
+    # refolder_step=best|<int>: which checkpoint of the production run to
+    # refold with.  The r4b rerun showed the refolder choice dominates the
+    # designability signal — the 12k-step sequence model (overfit to 11
+    # full-length structures, held-out lDDT 0.23) refolds everything at
+    # the floor, while less-overfit checkpoints discriminate.
+    ext_step = next((a.split("=", 1)[1] for a in sys.argv
+                     if a.startswith("refolder_step=")), None)
+    if ext_step is not None and ext_step != "best":
+        ext_step = int(ext_step)
     if ext_ck:
         import warnings
 
@@ -156,10 +165,11 @@ def main():
 
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
-            fold, fparams, fcfg = load_fold_model(ext_ck)
+            fold, fparams, fcfg = load_fold_model(ext_ck, step=ext_step)
         tcfg = fold.trunk_cfg
         log(f"[refolder] external checkpoint {ext_ck} "
-            f"(D={tcfg.node_dim} P={tcfg.pair_dim}, "
+            f"(step={ext_step if ext_step is not None else 'latest'}, "
+            f"D={tcfg.node_dim} P={tcfg.pair_dim}, "
             f"sequence_only={fcfg.sequence_only})")
     else:
         tcfg = TrFoldConfig(node_dim=64 * w, pair_dim=32 * w, n_heads=4,
