@@ -387,7 +387,7 @@ def run_long_l(rtt):
     (rectangular kernel over the local row shard + all-gathered columns)
     on the 1-device mesh.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from protstruc_tpu.ops.pallas_pairwise import pairwise_maps_pallas
@@ -417,7 +417,7 @@ def run_long_l(rtt):
     sharded = shard_map(
         local, mesh=mesh,
         in_specs=P(("dp", "tp"), "sp", None, None),
-        out_specs=P(("dp", "tp"), "sp", None), check_rep=False)
+        out_specs=P(("dp", "tp"), "sp", None), check_vma=False)
 
     @jax.jit
     def sp_fn(xyz):

@@ -251,7 +251,7 @@ def _pair_maps_shardmap(mesh: Mesh, interpret: bool = None):
 
     Returns a cached jitted callable ``(xyz, atom_mask) -> maps dict``.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from protstruc_tpu.ops.pallas_pairwise import pairwise_maps_pallas
     from protstruc_tpu.vocab import ATOM
@@ -289,6 +289,6 @@ def _pair_maps_shardmap(mesh: Mesh, interpret: bool = None):
                 "d_ca_mask", "d_cb_mask", "d_no_mask",
             ]
         },
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)

@@ -18,7 +18,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 __all__ = ["pipeline_forward", "stack_stage_params"]
 
@@ -103,6 +103,6 @@ def pipeline_forward(
     )
     fn = shard_map(
         spmd, mesh=mesh, in_specs=in_specs, out_specs=tmap(lambda _: P(), x),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(stage_params, x)
