@@ -315,15 +315,29 @@ def run_ingest():
 
 
 def run_mfu(rtt):
-    """[mfu] pinned train-step efficiency line (VERDICT r3 items 2-3).
+    """[mfu] pinned train-step efficiency lines (VERDICT r3 items 2-3).
 
-    One bf16 TrFold train step (value_and_grad + adamw update) at a pinned
+    One bf16 TrFold train step (value_and_grad + adamw update) per pinned
     config; FLOPs from XLA's own cost analysis of the compiled step;
     reported as achieved TFLOP/s and % of the v5e bf16 MXU peak
-    (197 TFLOP/s).  The full MFU-vs-width curve lives in
-    docs/guides/performance.md; this line tracks one point of it in the
-    driver artifact round-over-round.
+    (197 TFLOP/s).  Two points of the MFU-vs-width curve
+    (docs/guides/performance.md) are certified round-over-round: the
+    small [mfu] config tracked since r3, and a wide production config
+    [mfu-peak] (triangle pair updates + remat_policy=tri_dots) that pins
+    the >50%-of-peak regime in the driver artifact.
     """
+    _mfu_point("mfu", dict(node_dim=256, pair_dim=128, n_heads=8,
+                           n_blocks=4), B=4, L=512, rtt=rtt)
+    try:
+        _mfu_point("mfu-peak", dict(node_dim=2048, pair_dim=1024, n_heads=8,
+                                    n_blocks=3, pair_update="triangle",
+                                    remat=True, remat_policy="tri_dots"),
+                   B=2, L=256, rtt=rtt, iters=4)
+    except Exception as e:
+        log(f"[mfu-peak] FAILED: {type(e).__name__}: {e}")
+
+
+def _mfu_point(label, cfg_kwargs, B, L, rtt, iters=8):
     import numpy as np
     import optax
 
@@ -332,9 +346,8 @@ def run_mfu(rtt):
         TrFold, TrFoldConfig, featurize_for_model, loss_fn, make_train_state)
 
     PEAK_BF16 = 197e12
-    Bm, Lm = 4, 512
-    cfg = TrFoldConfig(node_dim=256, pair_dim=128, n_heads=8, n_blocks=4,
-                       dtype=jnp.bfloat16)
+    Bm, Lm = B, L
+    cfg = TrFoldConfig(dtype=jnp.bfloat16, **cfg_kwargs)
     model = TrFold(cfg)
 
     rng = np.random.RandomState(0)
@@ -364,7 +377,6 @@ def run_mfu(rtt):
     # min of 2 timed rounds: a relay stall (tunnel RTT swings of ms,
     # docs/guides/performance.md) must not land in the round-over-round
     # MFU line the driver artifact certifies
-    iters = 8
     dt = float("inf")
     for _round in range(2):
         t0 = time.perf_counter()
@@ -372,7 +384,7 @@ def run_mfu(rtt):
             params, opt_state, loss = jstep(params, opt_state, feats)
         float(loss)
         dt = min(dt, max(time.perf_counter() - t0 - rtt, 1e-9) / iters)
-    log(f"[mfu] TrFold bf16 D={cfg.node_dim} P={cfg.pair_dim} "
+    log(f"[{label}] TrFold bf16 D={cfg.node_dim} P={cfg.pair_dim} "
         f"blocks={cfg.n_blocks} B={Bm} L={Lm}: {dt*1e3:.1f} ms/step, "
         f"{flops/1e9:.1f} GFLOP -> {flops/dt/1e12:.2f} TFLOP/s = "
         f"{100*flops/dt/PEAK_BF16:.1f}% of bf16 peak")
