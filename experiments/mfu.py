@@ -121,6 +121,25 @@ DEFAULT_SWEEP = [
          remat_policy="tri_dots"),
     dict(D=640, P=320, blocks=6, pair_update="triangle", remat=True, L=384,
          remat_policy="tri_dots"),
+    # the r4 width-push rungs (experiments/r4_mfu_push*.py) that produced
+    # the 6.6% -> 59.6% curve committed in docs/quality/mfu_sweep_r4.json;
+    # listed here so the default sweep reproduces the whole curve
+    dict(D=768, P=384, blocks=4, L=256, B=8, pair_update="triangle",
+         remat=True),
+    dict(D=896, P=448, blocks=4, L=256, B=8, pair_update="triangle",
+         remat=True, remat_policy="tri_dots"),
+    dict(D=1024, P=512, blocks=4, L=256, B=8, pair_update="triangle",
+         remat=True, remat_policy="tri_dots"),
+    dict(D=1280, P=640, blocks=4, L=256, B=4, pair_update="triangle",
+         remat=True, remat_policy="tri_dots"),
+    dict(D=1536, P=768, blocks=4, L=256, B=4, pair_update="triangle",
+         remat=True, remat_policy="tri_dots"),
+    dict(D=2048, P=1024, blocks=3, L=256, B=2, pair_update="triangle",
+         remat=True, remat_policy="tri_dots"),
+    dict(D=2560, P=1280, blocks=3, L=256, B=2, pair_update="triangle",
+         remat=True, remat_policy="tri_dots"),
+    dict(D=3072, P=1536, blocks=2, L=256, B=2, pair_update="triangle",
+         remat=True, remat_policy="tri_dots"),
 ]
 
 
