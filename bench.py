@@ -390,6 +390,76 @@ def _mfu_point(label, cfg_kwargs, B, L, rtt, iters=8):
         f"{100*flops/dt/PEAK_BF16:.1f}% of bf16 peak")
 
 
+def run_attn(rtt):
+    """[attn] fused flash pair-bias attention vs the jnp path (fwd+bwd).
+
+    The trunk's node attention at production head dims (dh = 32) is
+    HBM-bound: the jnp path writes + reads the (B, H, L, L) logits and
+    probabilities; the flash kernel (ops/flash_attn.py) keeps the online
+    softmax in VMEM.  Pinned op-level A/B: fwd+bwd of a scalar loss
+    through the attention op, bf16 inputs, B=1 H=8 dh=32 L=4096.
+
+    Timing: these ops are sub-ms while the relay RTT is ~36 ms, so each
+    measurement jits a lax.fori_loop CHAINING n steps (grads perturb the
+    next iterate — XLA can't elide or overlap) and differences two inner
+    counts; the constant dispatch/RTT/fetch cost cancels exactly
+    (experiments/attn_sweep.py is the full tile sweep with this method).
+    """
+    import time as _time
+
+    from protstruc_tpu.ops.flash_attn import (
+        flash_pair_bias_attention, pair_bias_attention_reference)
+
+    B, L, H, dh = 1, 4096, 8, 32
+    n1, n2 = 4, 16
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = jax.random.normal(ks[0], (B, L, H, dh), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, L, H, dh), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, L, H, dh), jnp.bfloat16)
+    bias = jax.random.normal(ks[3], (B, H, L, L), jnp.bfloat16)
+    kmask = jnp.ones((B, L), bool).at[:, -100:].set(False)
+
+    def chained(attn, n):
+        def loss(q, k, v, bias):
+            o = attn(q, k, v, bias, kmask)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        @jax.jit
+        def run(q, k, v, bias):
+            def body(_, carry):
+                q, k, v, bias = carry
+                g = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+                eps = jnp.asarray(1e-6, q.dtype)
+                return (q + eps * g[0].astype(q.dtype),
+                        k + eps * g[1].astype(k.dtype),
+                        v + eps * g[2].astype(v.dtype),
+                        bias + eps * g[3].astype(bias.dtype))
+
+            q2, _, _, _ = jax.lax.fori_loop(0, n, body, (q, k, v, bias))
+            return jnp.sum(q2.astype(jnp.float32))
+
+        return run
+
+    def wall(fn):
+        float(fn(q, k, v, bias))  # compile + settle
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            float(fn(q, k, v, bias))
+            best = min(best, _time.perf_counter() - t0)
+        return best
+
+    results = {}
+    for name, fn in (("jnp", pair_bias_attention_reference),
+                     ("flash", flash_pair_bias_attention)):
+        dt = (wall(chained(fn, n2)) - wall(chained(fn, n1))) / (n2 - n1)
+        results[name] = dt
+        log(f"[attn] {name}: B={B} H={H} dh={dh} L={L} bf16 fwd+bwd: "
+            f"{dt*1e3:.2f} ms")
+    if results.get("flash") and results.get("jnp"):
+        log(f"[attn] flash speedup: {results['jnp']/results['flash']:.2f}x")
+
+
 def run_long_l(rtt):
     """[config6] long-context wall (VERDICT r3 item 7): B=1, L=8192.
 
@@ -783,6 +853,36 @@ def run_smoke(rtt):
         assert all(np.isfinite(losses)), f"non-finite loss {losses}"
         assert losses[-1] < losses[0], f"loss not decreasing {losses}"
 
+    @stage("flash-attn-parity")
+    def _():
+        from protstruc_tpu.ops.flash_attn import (
+            flash_pair_bias_attention, pair_bias_attention_reference)
+
+        ks = jax.random.split(jax.random.PRNGKey(3), 4)
+        q = jax.random.normal(ks[0], (1, 96, 2, 16))
+        k = jax.random.normal(ks[1], (1, 96, 2, 16))
+        v = jax.random.normal(ks[2], (1, 96, 2, 16))
+        bias = jax.random.normal(ks[3], (1, 2, 96, 96))
+        kmask = jnp.ones((1, 96), bool).at[0, -8:].set(False)
+        # compiled Mosaic path (interpret=None -> mosaic on-chip) vs jnp.
+        # The kernel pins HIGHEST matmul precision internally; the jnp
+        # oracle must run at the same precision or the comparison measures
+        # the DEFAULT-precision (bf16-mantissa) einsum error (~3e-3), not
+        # the kernel (measured: fwd 3.0e-7 / dbias 1.4e-4 on v5e).
+        with jax.default_matmul_precision("highest"):
+            out = flash_pair_bias_attention(q, k, v, bias, kmask)
+            ref = pair_bias_attention_reference(q, k, v, bias, kmask)
+            err = float(jnp.abs(out - ref).max())
+            assert err < 2e-5, f"flash fwd parity {err:.2e}"
+
+            def loss(fn):
+                return lambda b: jnp.sum(jnp.sin(fn(q, k, v, b, kmask)))
+
+            gf = jax.grad(loss(flash_pair_bias_attention))(bias)
+            gr = jax.grad(loss(pair_bias_attention_reference))(bias)
+            gerr = float(jnp.abs(gf - gr).max())
+            assert gerr < 5e-4, f"flash bwd parity {gerr:.2e}"
+
     @stage("aot-dispatcher")
     def _():
         from protstruc_tpu.utils.aot import precompile_featurizer
@@ -872,6 +972,7 @@ def main():
                   (lambda: run_configs(rtt), "configs"),
                   (lambda: run_long_l(rtt), "config6"),
                   (lambda: run_mfu(rtt), "mfu"),
+                  (lambda: run_attn(rtt), "attn"),
                   (lambda: run_sharded_diag(rtt), "sp-shard"),
                   (lambda: run_model_fused_diag(rtt), "model-fused")]
         for fn, name in stages:

@@ -221,6 +221,7 @@ def cmd_train(args) -> int:
         save_every=args.save_every, seed=args.seed, bf16=args.bf16,
         pair_update=args.pair_update, remat=args.remat,
         remat_policy=args.remat_policy,
+        use_flash_attn=args.flash_attn,
         mesh_shape=(tuple(int(x) for x in args.mesh.split(","))
                     if args.mesh else None),
         zero1=args.zero1,
@@ -437,6 +438,9 @@ def main(argv=None) -> int:
     t.add_argument("--remat", action="store_true",
                    help="rematerialize trunk blocks on backward "
                         "(fits long-L / triangle training in HBM)")
+    t.add_argument("--flash-attn", action="store_true",
+                   help="fused flash pair-bias node attention (Pallas "
+                        "kernel, no (B,H,L,L) probs in HBM)")
     t.add_argument("--remat-policy", default="none",
                    choices=("none", "tri_dots", "dots"),
                    help="with --remat: 'tri_dots' saves the triangle-"

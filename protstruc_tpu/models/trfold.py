@@ -88,6 +88,14 @@ class TrFoldConfig:
     # triangle multiplicative updates, outgoing + incoming, each a gated
     # einsum over the third residue — the AF2 pair-refinement mechanism).
     pair_update: str = "gated_mix"
+    # Node attention via the fused flash Pallas kernel
+    # (ops/flash_attn.py): online-softmax over key tiles, never
+    # materializing the (B, H, L, L) logits/probabilities in HBM.  The op
+    # is HBM-bound at dh = node_dim/n_heads = 32, so this removes its
+    # dominant cost at long L.  Falls back to the jnp path automatically
+    # when an extra_mask is present (AR InverseFold decoding) — the kernel
+    # only supports key-validity masking.
+    use_flash_attn: bool = False
 
 
 def featurize_for_model(batch, use_pallas: bool = False, fused: bool = False,
@@ -215,6 +223,12 @@ class PairBiasAttention(nn.Module):
 
         bias = nn.DenseGeneral((h,), name="pair_bias", dtype=cfg.dtype)(pair)
         bias = jnp.moveaxis(bias, -1, 1)  # (B, h, L, L)
+
+        if cfg.use_flash_attn and extra_mask is None:
+            from protstruc_tpu.ops.flash_attn import flash_pair_bias_attention
+            out = flash_pair_bias_attention(q, k, v, bias, mask)
+            return nn.DenseGeneral(cfg.node_dim, axis=(-2, -1), name="out",
+                                   dtype=cfg.dtype)(out)
 
         logits = jnp.einsum("blhd,bmhd->bhlm", q, k) / jnp.sqrt(dh).astype(cfg.dtype)
         logits = logits + bias

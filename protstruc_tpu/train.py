@@ -86,6 +86,11 @@ class TrainConfig:
     # "tri_dots" saves the triangle-contraction outputs so the backward
     # pass skips the O(L^3 P) einsums (models/trfold.py _remat_policy)
     remat_policy: str = "none"
+    # fused flash pair-bias attention (ops/flash_attn.py) for the trunk's
+    # node attention: online softmax over key tiles in a Pallas kernel, no
+    # (B, H, L, L) logits/probs in HBM — the long-L node-attention lever
+    # (1.8-2.9x fwd+bwd on v5e). Shards over dp/tp meshes; sp>1 rejected.
+    use_flash_attn: bool = False
     # observability: append {"step", "loss", "ms", "t"} lines to
     # <checkpoint_dir>/metrics.jsonl every log interval; capture an XProf
     # trace of steps 3-6 into profile_dir when set
@@ -214,7 +219,8 @@ def _build_model(cfg: TrainConfig):
     trunk = TrFoldConfig(node_dim=cfg.node_dim, pair_dim=cfg.pair_dim,
                          n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
                          dtype=dtype, pair_update=cfg.pair_update,
-                         remat=cfg.remat, remat_policy=cfg.remat_policy)
+                         remat=cfg.remat, remat_policy=cfg.remat_policy,
+                         use_flash_attn=cfg.use_flash_attn)
     return FoldModel(
         trunk_cfg=trunk,
         ipa_cfg=IPAConfig(n_heads=cfg.n_heads, n_iter=cfg.n_ipa_iter),
@@ -304,6 +310,15 @@ def train(
             "zero1=True requires mesh_shape: ZeRO-1 partitions optimizer "
             "state over the dp mesh axis — without a mesh it would be "
             "silently ignored")
+    if (cfg.use_flash_attn and cfg.mesh_shape is not None
+            and cfg.mesh_shape[1] > 1):
+        raise ValueError(
+            "use_flash_attn=True shards over dp/tp (custom_partitioning) "
+            "but not sp: a flash kernel needs every key per query row, so "
+            f"under sp={cfg.mesh_shape[1]} the partitioner would all-gather "
+            "the (B, H, L, L) pair bias every layer — slower than the "
+            "sp-sharded jnp path. Use mesh_shape=(dp, 1, tp) with flash "
+            "attention, or drop use_flash_attn under sequence parallelism.")
     model = _build_model(cfg)
     tx = _build_tx(cfg)
 

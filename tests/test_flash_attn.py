@@ -1,0 +1,175 @@
+"""Flash pair-bias attention kernel vs the jnp path.
+
+Runs in interpreter mode on CPU (tests/conftest.py forces the cpu backend);
+the compiled Mosaic path is exercised on-chip by the bench smoke lane
+(bench.py) and the [attn] bench line.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from protstruc_tpu.ops.flash_attn import (
+    flash_pair_bias_attention,
+    pair_bias_attention_reference,
+)
+
+
+def _inputs(B=2, L=100, H=4, dh=32, dtype=jnp.float32, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    q = jax.random.normal(ks[0], (B, L, H, dh), dtype)
+    k = jax.random.normal(ks[1], (B, L, H, dh), dtype)
+    v = jax.random.normal(ks[2], (B, L, H, dh), dtype)
+    bias = jax.random.normal(ks[3], (B, H, L, L), dtype)
+    kmask = jax.random.bernoulli(ks[4], 0.8, (B, L))
+    return q, k, v, bias, kmask
+
+
+def test_forward_matches_reference():
+    q, k, v, bias, kmask = _inputs()
+    ref = pair_bias_attention_reference(q, k, v, bias, kmask)
+    out = flash_pair_bias_attention(q, k, v, bias, kmask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-5)
+
+
+def test_fully_masked_rows_are_exact_zeros():
+    q, k, v, bias, kmask = _inputs()
+    kmask = kmask.at[1].set(False)  # structure 1: every key invalid
+    out = flash_pair_bias_attention(q, k, v, bias, kmask, interpret=True)
+    assert np.all(np.asarray(out[1]) == 0.0)
+    # ... and matches the jnp path's post-softmax zeroing convention
+    ref = pair_bias_attention_reference(q, k, v, bias, kmask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-5)
+
+
+def test_gradients_match_reference():
+    q, k, v, bias, kmask = _inputs(L=70)
+    kmask = kmask.at[0, :3].set(False)
+
+    def loss(fn, q, k, v, bias):
+        o = fn(q, k, v, bias, kmask)
+        return jnp.sum(jnp.sin(o))
+
+    flash = lambda *a: flash_pair_bias_attention(*a, interpret=True)
+    g_f = jax.grad(lambda *a: loss(flash, *a), argnums=(0, 1, 2, 3))(
+        q, k, v, bias)
+    g_r = jax.grad(lambda *a: loss(pair_bias_attention_reference, *a),
+                   argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, a, b in zip("qkvb", g_f, g_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=5e-5,
+            err_msg=f"grad d{name}")
+
+
+def test_fully_masked_rows_have_zero_gradients():
+    q, k, v, bias, kmask = _inputs(B=1, L=40)
+    kmask = kmask.at[0].set(False)
+
+    def loss(q, k, v, bias):
+        o = flash_pair_bias_attention(q, k, v, bias, kmask, interpret=True)
+        return jnp.sum(o * o)
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, a in zip("qkvb", g):
+        assert np.all(np.asarray(a) == 0.0), f"grad d{name} not zero"
+
+
+@pytest.mark.parametrize("tile_q,tile_k", [(64, 128), (128, 256), (8, 128)])
+def test_tile_shapes(tile_q, tile_k):
+    q, k, v, bias, kmask = _inputs(B=1, L=130, H=2)
+    ref = pair_bias_attention_reference(q, k, v, bias, kmask)
+    out = flash_pair_bias_attention(q, k, v, bias, kmask,
+                                    tile_q=tile_q, tile_k=tile_k,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-5)
+
+
+def test_bfloat16_inputs():
+    q, k, v, bias, kmask = _inputs(dtype=jnp.bfloat16, L=64)
+    out = flash_pair_bias_attention(q, k, v, bias, kmask, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    # f32 in-kernel accumulation: compare against the f32 reference on the
+    # upcast inputs at bf16 output resolution
+    ref = pair_bias_attention_reference(
+        q.astype(jnp.float32), k.astype(jnp.float32),
+        v.astype(jnp.float32), bias.astype(jnp.float32), kmask)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               rtol=0, atol=2e-2)
+
+
+def test_trfold_flash_path_matches_jnp_path():
+    """Model-level A/B: same params, flash on/off, same outputs.
+
+    The flash path reuses the exact same qkv/pair_bias/out projections, so
+    checkpoints trained either way load interchangeably — this test pins
+    both the numerics and the param-tree invariance.
+    """
+    from protstruc_tpu.models.trfold import (
+        TrFold, TrFoldConfig, featurize_from_sequence)
+
+    kw = dict(node_dim=32, pair_dim=16, n_heads=2, n_blocks=1)
+    cfg = TrFoldConfig(**kw)
+    cfg_flash = TrFoldConfig(use_flash_attn=True, **kw)
+    seq_idx = jax.random.randint(jax.random.PRNGKey(1), (1, 24), 0, 20)
+    feats = featurize_from_sequence(seq_idx)
+    params = TrFold(cfg).init(jax.random.PRNGKey(0), feats)
+    params_flash = TrFold(cfg_flash).init(jax.random.PRNGKey(0), feats)
+    assert jax.tree.structure(params) == jax.tree.structure(params_flash)
+    out_jnp = TrFold(cfg).apply(params, feats)
+    out_flash = TrFold(cfg_flash).apply(params, feats)
+    for key in out_jnp:
+        np.testing.assert_allclose(
+            np.asarray(out_flash[key]), np.asarray(out_jnp[key]),
+            rtol=0, atol=1e-4, err_msg=key)
+
+
+def test_mesh_dp_tp_sharding():
+    """custom_partitioning: the kernel shards over batch (dp) and heads
+    (tp) under GSPMD — outputs match the jnp path and stay sharded (no
+    silent all-gather onto one device)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from protstruc_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, axis_shapes=(4, 1, 2))
+    B, L, H, dh = 4, 64, 4, 16
+    q, k, v, bias, kmask = _inputs(B=B, L=L, H=H, dh=dh)
+
+    qs = NamedSharding(mesh, P("dp", None, "tp", None))
+    bs = NamedSharding(mesh, P("dp", "tp", None, None))
+    ms = NamedSharding(mesh, P("dp", None))
+    qd, kd, vd = (jax.device_put(x, qs) for x in (q, k, v))
+    biasd = jax.device_put(bias, bs)
+    kmaskd = jax.device_put(kmask, ms)
+
+    @jax.jit
+    def fwd(q, k, v, bias, kmask):
+        return flash_pair_bias_attention(q, k, v, bias, kmask,
+                                         interpret=True)
+
+    out = fwd(qd, kd, vd, biasd, kmaskd)
+    ref = pair_bias_attention_reference(q, k, v, bias, kmask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-5)
+    # output keeps the dp/tp sharding the partition rule declares
+    spec = out.sharding.spec
+    assert tuple(spec)[:3] in ((("dp",), None, ("tp",)), ("dp", None, "tp")), spec
+
+    # gradients flow through the partitioned backward kernel
+    def loss(q, k, v, bias):
+        o = flash_pair_bias_attention(q, k, v, bias, kmaskd, interpret=True)
+        return jnp.sum(jnp.sin(o))
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(qd, kd, vd, biasd)
+    g_ref = jax.grad(
+        lambda q, k, v, bias: jnp.sum(jnp.sin(
+            pair_bias_attention_reference(q, k, v, bias, kmask))),
+        argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, a, b in zip("qkvb", g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-5,
+                                   err_msg=f"grad d{name}")

@@ -303,3 +303,29 @@ def test_final_offcadence_eval_row_persisted(small_pdb, tmp_path):
     eval_steps = {r["step"] for r in rows if "eval_ca_lddt" in r}
     assert {2, 3} <= eval_steps
     assert best_eval_step(ck) in (2, 3)
+
+
+def test_mesh_flash_attn_train(small_pdb, tmp_path):
+    """Flash attention under a dp/tp mesh: the custom_partitioning rules
+    shard the kernel over batch + heads; sp>1 is rejected with guidance."""
+    import jax
+    import pytest
+
+    from protstruc_tpu.train import TrainConfig, train
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+
+    base = dict(steps=2, batch_size=4, node_dim=16, pair_dim=8,
+                n_heads=2, n_blocks=1, n_ipa_iter=2, n_recycle=0,
+                save_every=0, shuffle=False, use_flash_attn=True)
+
+    with pytest.raises(ValueError, match="sp"):
+        train([small_pdb], str(tmp_path / "ck_sp"),
+              TrainConfig(mesh_shape=(2, 2, 2), **base),
+              log_fn=lambda *a: None)
+
+    m = train([small_pdb] * 4, str(tmp_path / "ck_flash_mesh"),
+              TrainConfig(mesh_shape=(4, 1, 2), **base),
+              log_fn=lambda *a: None)
+    assert np.isfinite(m["final_loss"])
