@@ -92,9 +92,8 @@ class TrFoldConfig:
     # (ops/flash_attn.py): online-softmax over key tiles, never
     # materializing the (B, H, L, L) logits/probabilities in HBM.  The op
     # is HBM-bound at dh = node_dim/n_heads = 32, so this removes its
-    # dominant cost at long L.  Falls back to the jnp path automatically
-    # when an extra_mask is present (AR InverseFold decoding) — the kernel
-    # only supports key-validity masking.
+    # dominant cost at long L.  An extra_mask (AR InverseFold decoding)
+    # is folded into the additive bias with the jnp path's -1e9.
     use_flash_attn: bool = False
 
 
@@ -224,9 +223,26 @@ class PairBiasAttention(nn.Module):
         bias = nn.DenseGeneral((h,), name="pair_bias", dtype=cfg.dtype)(pair)
         bias = jnp.moveaxis(bias, -1, 1)  # (B, h, L, L)
 
-        if cfg.use_flash_attn and extra_mask is None:
+        if cfg.use_flash_attn:
             from protstruc_tpu.ops.flash_attn import flash_pair_bias_attention
-            out = flash_pair_bias_attention(q, k, v, bias, mask)
+
+            if extra_mask is None:
+                out = flash_pair_bias_attention(q, k, v, bias, mask)
+            else:
+                # Fold the (B, L, L) attend-mask into the additive bias
+                # (same -1e9 the jnp path uses).  The one semantic gap is
+                # rows whose every key is disallowed by extra_mask: the
+                # kernel's zero-output convention only sees kmask, so those
+                # rows softmax over the -1e9 logits — post-zero them (their
+                # upstream grad is then 0, which zeroes ds/dk/dv exactly
+                # like the jnp path's post-softmax where).
+                neg = jnp.asarray(-1e9, jnp.float32)
+                fbias = (bias.astype(jnp.float32)
+                         + jnp.where(extra_mask[:, None], 0.0, neg)
+                         ).astype(bias.dtype)
+                out = flash_pair_bias_attention(q, k, v, fbias, mask)
+                row_ok = jnp.any(extra_mask & mask[:, None, :], axis=-1)
+                out = jnp.where(row_ok[:, :, None, None], out, 0.0)
             return nn.DenseGeneral(cfg.node_dim, axis=(-2, -1), name="out",
                                    dtype=cfg.dtype)(out)
 

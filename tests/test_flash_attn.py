@@ -173,3 +173,39 @@ def test_mesh_dp_tp_sharding():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=5e-5,
                                    err_msg=f"grad d{name}")
+
+
+def test_extra_mask_flash_matches_jnp_path():
+    """AR-decoder masking through the flash path: extra_mask folds into the
+    bias; rows with no allowed key output zeros, like the jnp path."""
+    from protstruc_tpu.models.trfold import PairBiasAttention, TrFoldConfig
+
+    kw = dict(node_dim=32, pair_dim=16, n_heads=2, n_blocks=1)
+    B, L = 1, 20
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    node = jax.random.normal(ks[0], (B, L, 32))
+    pair = jax.random.normal(ks[1], (B, L, L, 16))
+    mask = jnp.ones((B, L), bool).at[0, -2:].set(False)
+    # causal decode-order mask; row 0 has NO allowed key (strict causal)
+    order = jnp.arange(L)
+    extra = (order[None, :, None] > order[None, None, :])
+
+    attn = PairBiasAttention(TrFoldConfig(**kw))
+    attn_flash = PairBiasAttention(TrFoldConfig(use_flash_attn=True, **kw))
+    params = attn.init(jax.random.PRNGKey(0), node, pair, mask,
+                       extra_mask=extra)
+
+    def run(module, params, node, pair):
+        return module.apply(params, node, pair, mask, extra_mask=extra)
+
+    out_jnp = run(attn, params, node, pair)
+    out_flash = run(attn_flash, params, node, pair)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_jnp),
+                               rtol=0, atol=2e-5)
+
+    # gradients agree too (incl. zero flow through the no-key row)
+    g_jnp = jax.grad(lambda n: jnp.sum(jnp.sin(run(attn, params, n, pair))))(node)
+    g_flash = jax.grad(
+        lambda n: jnp.sum(jnp.sin(run(attn_flash, params, n, pair))))(node)
+    np.testing.assert_allclose(np.asarray(g_flash), np.asarray(g_jnp),
+                               rtol=0, atol=5e-5)
