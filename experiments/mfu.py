@@ -9,7 +9,7 @@ the largest step that fits one chip instead of asserting it).
 
 Usage:
     python experiments/mfu.py                 # the default sweep
-    python experiments/mfu.py D P BLOCKS [L] [B] [pair_update] [dtype]
+    python experiments/mfu.py D P BLOCKS [L] [B] [pair_update] [dtype] [flash]
 """
 
 import json
@@ -31,7 +31,7 @@ def log(*a):
 
 
 def measure(D, P, blocks, L=512, B=4, pair_update="mix", dtype_name="bf16",
-            remat=False, heads=8, remat_policy="none"):
+            remat=False, heads=8, remat_policy="none", use_flash_attn=False):
     import optax
 
     from protstruc_tpu.models.trfold import (
@@ -41,7 +41,7 @@ def measure(D, P, blocks, L=512, B=4, pair_update="mix", dtype_name="bf16",
     dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
     cfg = TrFoldConfig(node_dim=D, pair_dim=P, n_heads=heads, n_blocks=blocks,
                        dtype=dtype, pair_update=pair_update, remat=remat,
-                       remat_policy=remat_policy)
+                       remat_policy=remat_policy, use_flash_attn=use_flash_attn)
     model = TrFold(cfg)
 
     rng = np.random.RandomState(0)
@@ -67,6 +67,7 @@ def measure(D, P, blocks, L=512, B=4, pair_update="mix", dtype_name="bf16",
     name = (f"D={D} P={P} b={blocks} L={L} B={B} {pair_update}"
             f"{'+remat' if remat else ''}"
             f"{'/' + remat_policy if remat and remat_policy != 'none' else ''}"
+            f"{'+flash' if use_flash_attn else ''}"
             f" {dtype_name}")
     t0 = time.perf_counter()
     params, opt_state, loss = jstep(params, opt_state, feats)
@@ -151,8 +152,10 @@ def main():
         B = int(sys.argv[5]) if len(sys.argv) > 5 else 4
         pu = sys.argv[6] if len(sys.argv) > 6 else "mix"
         dt = sys.argv[7] if len(sys.argv) > 7 else "bf16"
+        flash = len(sys.argv) > 8 and sys.argv[8] == "flash"
         rows = [measure(D, P, blocks, L=L, B=B, pair_update=pu,
-                        dtype_name=dt, remat=pu == "triangle")]
+                        dtype_name=dt, remat=pu == "triangle",
+                        use_flash_attn=flash)]
     else:
         rows = []
         for kw in DEFAULT_SWEEP:
