@@ -47,6 +47,9 @@ class InverseFoldConfig:
     # decoding order (teacher-forced in one pass at training; L-step scan
     # at sampling — see ar_sample_sequence)
     n_decoder_blocks: int = 0
+    # route node attention (encoder + causal decoder) through the fused
+    # flash Pallas kernel — see models/trfold.py TrFoldConfig.use_flash_attn
+    use_flash_attn: bool = False
 
 
 def featurize_backbone(batch) -> Dict[str, jnp.ndarray]:
@@ -113,6 +116,7 @@ class InverseFold(nn.Module):
         tr_cfg = TrFoldConfig(
             node_dim=cfg.node_dim, pair_dim=cfg.pair_dim,
             n_heads=cfg.n_heads, dtype=cfg.dtype,
+            use_flash_attn=cfg.use_flash_attn,
         )
         for i in range(cfg.n_blocks):
             node = node + PairBiasAttention(tr_cfg, name=f"attn_{i}")(
