@@ -9,7 +9,8 @@ the largest step that fits one chip instead of asserting it).
 
 Usage:
     python experiments/mfu.py                 # the default sweep
-    python experiments/mfu.py D P BLOCKS [L] [B] [pair_update] [dtype] [flash]
+    python experiments/mfu.py D P BLOCKS [L] [B] [pair_update] [dtype] \
+                              [flash] [remat]
 """
 
 import json
@@ -152,10 +153,11 @@ def main():
         B = int(sys.argv[5]) if len(sys.argv) > 5 else 4
         pu = sys.argv[6] if len(sys.argv) > 6 else "mix"
         dt = sys.argv[7] if len(sys.argv) > 7 else "bf16"
-        flash = len(sys.argv) > 8 and sys.argv[8] == "flash"
+        extras = set(sys.argv[8:])
         rows = [measure(D, P, blocks, L=L, B=B, pair_update=pu,
-                        dtype_name=dt, remat=pu == "triangle",
-                        use_flash_attn=flash)]
+                        dtype_name=dt,
+                        remat=pu == "triangle" or "remat" in extras,
+                        use_flash_attn="flash" in extras)]
     else:
         rows = []
         for kw in DEFAULT_SWEEP:
