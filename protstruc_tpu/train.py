@@ -564,6 +564,12 @@ def load_fold_model(checkpoint_dir: str, use_ema: bool = True, step=None):
             "Train with sequence_only=True (CLI: --sequence-only) for a "
             "checkpoint meant for sequence folding.",
             stacklevel=2)
+    if cfg.use_flash_attn and jax.default_backend() != "tpu":
+        # flash-trained checkpoints are path-interchangeable with the jnp
+        # attention (same param tree, values within 1e-4); off-TPU the
+        # kernel would run in the Pallas interpreter — orders of magnitude
+        # slower than XLA's fused einsums, with no numerical upside.
+        cfg = dataclasses.replace(cfg, use_flash_attn=False)
     model = _build_model(cfg)
 
     dummy = featurize_from_sequence(

@@ -329,3 +329,19 @@ def test_mesh_flash_attn_train(small_pdb, tmp_path):
               TrainConfig(mesh_shape=(4, 1, 2), **base),
               log_fn=lambda *a: None)
     assert np.isfinite(m["final_loss"])
+
+
+def test_flash_checkpoint_loads_jnp_path_off_tpu(small_pdb, tmp_path):
+    """A flash-trained checkpoint folds off-TPU via the jnp attention (the
+    interpreter-mode kernel has no upside at inference; params are
+    path-interchangeable)."""
+    from protstruc_tpu.train import TrainConfig, load_fold_model, train
+
+    ck = str(tmp_path / "ck_flash")
+    cfg = TrainConfig(steps=2, batch_size=1, node_dim=16, pair_dim=8,
+                      n_heads=2, n_blocks=1, n_ipa_iter=2, n_recycle=0,
+                      save_every=0, shuffle=False, use_flash_attn=True,
+                      sequence_only=True)
+    train([small_pdb], ck, cfg, log_fn=lambda *a: None)
+    model, params, cfg_loaded = load_fold_model(ck)
+    assert cfg_loaded.use_flash_attn is False  # cpu backend in tests
