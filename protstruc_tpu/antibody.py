@@ -372,28 +372,9 @@ class AntibodyStructureBatch(StructureBatch):
                     if not real.any():
                         continue
                     if source_scheme == "auto":
-                        # convert only on an unambiguous detection: a tie
-                        # (shared first Cys matched, second disordered)
-                        # must not silently re-gap an already-correct
-                        # chain — leave it as-requested with a warning
-                        scores = _nb.scheme_anchor_scores(
-                            num[real], p.oneletter[real], ctype)
-                        if scores["chothia"] > scores["imgt"]:
-                            src = "chothia"
-                        elif scores["imgt"] > scores["chothia"]:
-                            src = "imgt"
-                        else:
-                            if max(scores.values()) > 0:
-                                import warnings
-
-                                warnings.warn(
-                                    f"{ctype} chain: anchor cysteines "
-                                    f"cannot separate chothia from imgt "
-                                    f"(scores {scores}); assuming the "
-                                    f"requested scheme — pass "
-                                    f"source_scheme explicitly to force "
-                                    f"a conversion")
-                            src = target
+                        src = _nb.detect_numbering_scheme_strict(
+                            num[real], p.oneletter[real], ctype,
+                            fallback=target, warn_label=f"{ctype} chain")
                     else:
                         src = _int_scheme(source_scheme)
                     if src != target:

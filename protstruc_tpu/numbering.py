@@ -58,7 +58,8 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 __all__ = ["convert_chain_numbering", "detect_numbering_scheme",
-           "scheme_anchor_scores", "renumber_pdb", "SCHEME_ANCHOR_CYS"]
+           "detect_numbering_scheme_strict", "scheme_anchor_scores",
+           "renumber_pdb", "SCHEME_ANCHOR_CYS"]
 
 
 # (name, kabat/chothia integer span, imgt integer span, fill rule,
@@ -271,6 +272,38 @@ def detect_numbering_scheme(
     return best, scores[best]
 
 
+def detect_numbering_scheme_strict(
+    numbers: Sequence[int],
+    oneletter: Sequence[str],
+    chain_type: str,
+    fallback: str,
+    warn_label: str,
+) -> str:
+    """Scheme detection that refuses to guess on a tie (conversion-safe).
+
+    Returns ``"chothia"`` / ``"imgt"`` when the anchor-cysteine scores
+    produce a strict winner, else ``fallback`` — converting on a tie (e.g.
+    only the shared first Cys matched because the second is disordered)
+    could silently re-gap an already-correct chain, so ties warn (when any
+    anchor matched at all) and leave the numbering as-requested.  Shared
+    by :func:`renumber_pdb` and ``AntibodyStructureBatch.from_pdb``.
+    """
+    scores = scheme_anchor_scores(numbers, oneletter, chain_type)
+    if scores["chothia"] > scores["imgt"]:
+        return "chothia"
+    if scores["imgt"] > scores["chothia"]:
+        return "imgt"
+    if max(scores.values()) > 0:
+        import warnings
+
+        warnings.warn(
+            f"{warn_label}: anchor cysteines cannot separate chothia from "
+            f"imgt (scores {scores}); falling back to the requested scheme "
+            f"(no conversion) — pass source_scheme explicitly to force a "
+            f"conversion")
+    return fallback
+
+
 def renumber_pdb(
     in_path: str,
     out_path: str,
@@ -326,25 +359,9 @@ def renumber_pdb(
         if not sel.any():
             raise ValueError(f"chain {cid!r} not found in {in_path}")
         if source_scheme == "auto":
-            # convert only on an unambiguous detection: a TIE (e.g. only
-            # the shared first Cys matched because the second is
-            # disordered) must not silently re-gap an already-correct
-            # chain, so it is left unconverted with a warning
-            scores = scheme_anchor_scores(nums[sel], p.oneletter[sel], ctype)
-            if scores["chothia"] > scores["imgt"]:
-                src = "chothia"
-            elif scores["imgt"] > scores["chothia"]:
-                src = "imgt"
-            else:
-                if max(scores.values()) > 0:
-                    import warnings
-
-                    warnings.warn(
-                        f"chain {cid!r}: anchor cysteines cannot separate "
-                        f"chothia from imgt (scores {scores}); leaving its "
-                        f"numbering unconverted — pass source_scheme "
-                        f"explicitly to force a conversion")
-                src = target
+            src = detect_numbering_scheme_strict(
+                nums[sel], p.oneletter[sel], ctype,
+                fallback=target, warn_label=f"chain {cid!r}")
         else:
             src = "imgt" if source_scheme == "imgt" else "chothia"
         if src != target:

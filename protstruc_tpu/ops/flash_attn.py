@@ -489,9 +489,11 @@ def flash_pair_bias_attention(q, k, v, bias, kmask, *,
     # (an lcm of ragged tiles can blow padding up 10x+).
     pow2_floor = lambda x: 1 << (x.bit_length() - 1)
     pow2_ceil = lambda x: 1 << ((x - 1).bit_length())
-    # floor 16: bf16 sublane tiling is (16, 128) on TPU; 16 also satisfies f32
-    tile_q = min(pow2_floor(tile_q), max(pow2_ceil(L), 16))
-    tile_k = min(pow2_floor(tile_k), max(pow2_ceil(L), 128))
+    # floor 16: bf16 sublane tiling is (16, 128) on TPU; 16 also satisfies
+    # f32.  The floors bind explicitly-passed tiny tiles too, not just the
+    # L-derived cap (tile_q=8 would fall off the Mosaic fast path).
+    tile_q = max(min(pow2_floor(tile_q), max(pow2_ceil(L), 16)), 16)
+    tile_k = max(min(pow2_floor(tile_k), max(pow2_ceil(L), 128)), 128)
     Lp = _ceil_to(L, max(tile_q, tile_k))
 
     pad = Lp - L

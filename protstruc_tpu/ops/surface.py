@@ -161,7 +161,10 @@ def contact_order(
     order is a single-chain notion (Plaxco et al. 1998): when
     ``chain_idx`` is given, only same-chain pairs count — cross-chain
     |i - j| in a concatenated complex is a flattened-index artifact, not
-    a sequence separation.
+    a sequence separation — and ``relative`` normalizes each contact by
+    its own chain's length (the Plaxco L), so the result is the
+    contact-weighted mean of the per-chain relative contact orders rather
+    than an understated division by the total complex length.
     """
     B, L, _ = ca.shape
     if mask is None:
@@ -187,8 +190,16 @@ def contact_order(
     contact = contact.astype(ca.dtype)
 
     n_contacts = jnp.maximum(jnp.sum(contact, axis=(1, 2)), 1.0)
-    co = jnp.sum(contact * sep[None], axis=(1, 2)) / n_contacts
-    if relative:
-        n = jnp.maximum(jnp.sum(mask, axis=1).astype(ca.dtype), 1.0)
-        co = co / n
+    if relative and chain_idx is not None:
+        # per-chain Plaxco L: length of the chain residue i belongs to
+        same = (chain_idx[:, :, None] == chain_idx[:, None, :])
+        chain_len = jnp.maximum(
+            jnp.sum(same & mask[:, None, :], axis=-1).astype(ca.dtype), 1.0)
+        co = jnp.sum(contact * (sep[None] / chain_len[:, :, None]),
+                     axis=(1, 2)) / n_contacts
+    else:
+        co = jnp.sum(contact * sep[None], axis=(1, 2)) / n_contacts
+        if relative:
+            n = jnp.maximum(jnp.sum(mask, axis=1).astype(ca.dtype), 1.0)
+            co = co / n
     return co

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, List, Sequence
 
@@ -117,8 +118,29 @@ class StructureDataset:
                 pending = {b: [] for b in self.buckets}
                 pending[None] = []  # beyond-table lengths
                 with ThreadPoolExecutor(self.n_workers) as pool:
-                    for parsed in pool.map(parse_pdb, paths):
+                    # lazy bounded submission (NOT pool.map, which submits
+                    # the whole corpus eagerly): abandoning the epoch then
+                    # drains at most ~2x n_workers in-flight parses at pool
+                    # exit instead of parsing every remaining file
+                    path_it = iter(paths)
+                    inflight: deque = deque()
+
+                    def top_up():
+                        while (len(inflight) < 2 * self.n_workers
+                               and not stop.is_set()):
+                            try:
+                                inflight.append(
+                                    pool.submit(parse_pdb, next(path_it)))
+                            except StopIteration:
+                                break
+
+                    top_up()
+                    while inflight:
+                        parsed = inflight.popleft().result()
+                        top_up()
                         if stop.is_set():
+                            for f in inflight:
+                                f.cancel()
                             return
                         b = bucket_length(parsed.n_residues, self.buckets)
                         key = b if b in pending else None

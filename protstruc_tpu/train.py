@@ -346,9 +346,13 @@ def train(
         # accum_steps shapes the OPT state (MultiSteps wraps the moment
         # tree), so resuming across a change would fail in orbax — error
         # loudly with the others
+        # lr_schedule also shapes the OPT state: adamw(float) carries
+        # EmptyState where adamw(schedule) carries ScaleByScheduleState,
+        # so resuming across a schedule change mismatches the saved tree
         shape_fields = ("node_dim", "pair_dim", "n_heads", "n_blocks",
                         "n_ipa_iter", "n_recycle", "sequence_only", "bf16",
-                        "pair_update", "accum_steps", "ema_decay")
+                        "pair_update", "accum_steps", "ema_decay",
+                        "lr_schedule")
         diff = {f: (getattr(existing, f), getattr(cfg, f))
                 for f in shape_fields
                 if getattr(existing, f) != getattr(cfg, f)}
@@ -384,6 +388,7 @@ def train(
     t0 = time.perf_counter()
     step = 0
     losses = []
+    evaled_step = -1  # last step whose held-out eval already ran in-loop
     # cfg.steps is the TOTAL step target: a crash-recovery rerun of the
     # same command completes to the configured total instead of training
     # cfg.steps more (which would also leave warmup_cosine resumes
@@ -450,6 +455,7 @@ def train(
                 save_train_state(checkpoint_dir, step, params, opt_state)
                 if eval_paths:
                     ev = evaluate(model, params, eval_paths, cfg)
+                    evaled_step = step
                     log_fn(f"[eval] step {step}: "
                            + " ".join(f"{k}={v:.3f}" for k, v in ev.items()))
                     if cfg.metrics_jsonl:
@@ -465,14 +471,17 @@ def train(
     final_loss = losses[-1] if losses else None
     result = {"steps": step, "final_loss": final_loss, "seconds": dt}
     if eval_paths:
-        ev = evaluate(model, params, eval_paths, cfg)
+        if evaled_step != step:
+            # off-cadence final step: evaluate once here; the cadence-
+            # aligned case already evaluated these exact params in-loop
+            ev = evaluate(model, params, eval_paths, cfg)
         result.update(ev)
         log_fn("[eval] final: " + " ".join(
             f"{k}={v:.3f}" for k, v in result.items() if k.startswith("eval")))
         # persist the final checkpoint's eval like the in-loop ones: when
         # cfg.steps is off the save_every cadence, step='best' could
         # otherwise never select the final (possibly best) checkpoint
-        if cfg.metrics_jsonl:
+        if cfg.metrics_jsonl and evaled_step != step:
             with open(os.path.join(checkpoint_dir, "metrics.jsonl"),
                       "a") as fh:
                 fh.write(json.dumps(dict(ev, step=step)) + "\n")

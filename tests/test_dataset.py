@@ -79,3 +79,35 @@ def test_abandoned_iteration_does_not_leak_producer(tmp_path):
             break
         time.sleep(0.2)
     assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_abandoned_iteration_stops_parsing(monkeypatch):
+    """Abandoning an epoch must not parse the whole remaining corpus: the
+    producer submits lazily (bounded in-flight), so at most a few in-flight
+    parses drain after the consumer breaks."""
+    import threading
+    import time
+
+    import protstruc_tpu.pdbio.parser as parser_mod
+    from tests.conftest import pdb_path
+
+    n_parsed = [0]
+    real_parse = parser_mod.parse_pdb
+
+    def counting_parse(path):
+        n_parsed[0] += 1
+        return real_parse(path)
+
+    monkeypatch.setattr(parser_mod, "parse_pdb", counting_parse)
+    total = 60
+    paths = [pdb_path("1REX.pdb")] * total
+    ds = StructureDataset(paths, batch_size=1, prefetch=1, n_workers=2)
+    before = threading.active_count()
+    for batch in ds:
+        break
+    deadline = time.time() + 15.0
+    while time.time() < deadline and threading.active_count() > before:
+        time.sleep(0.2)
+    # bound: prefetch + 2x n_workers in flight + a small race margin,
+    # far below the 60-file corpus the eager pool.map used to drain
+    assert n_parsed[0] <= 20, f"parsed {n_parsed[0]}/{total} after abandon"

@@ -191,3 +191,27 @@ class TestSASAOracles:
         lib_total = float(np.sum(np.asarray(
             sasa(sb.xyz, sb.atom_mask, sb.get_seq_idx(), n_points=960))))
         np.testing.assert_allclose(lib_total, total, rtol=0.02)
+
+
+class TestContactOrderChains:
+    def test_homodimer_matches_monomer(self):
+        """Relative CO with chain_idx normalizes by the PER-CHAIN Plaxco L:
+        duplicating a chain into a (displaced) homodimer must reproduce the
+        monomer's relative contact order, not half of it."""
+        import protstruc_tpu as ps
+
+        sb = ps.StructureBatch.from_pdb("tests/data/1REX.pdb")
+        ca = np.asarray(sb.xyz[:, :, 1])
+        mask = np.asarray(sb.get_residue_mask())
+        L = ca.shape[1]
+        co_mono = float(contact_order(jnp.asarray(ca),
+                                      jnp.asarray(mask))[0])
+
+        dimer_ca = np.concatenate([ca, ca + 300.0], axis=1)  # far apart
+        dimer_mask = np.concatenate([mask, mask], axis=1)
+        chain_idx = np.concatenate([np.zeros((1, L)), np.ones((1, L))],
+                                   axis=1).astype(np.int32)
+        co_dimer = float(contact_order(jnp.asarray(dimer_ca),
+                                       jnp.asarray(dimer_mask),
+                                       chain_idx=jnp.asarray(chain_idx))[0])
+        np.testing.assert_allclose(co_dimer, co_mono, rtol=1e-5)

@@ -345,3 +345,40 @@ def test_flash_checkpoint_loads_jnp_path_off_tpu(small_pdb, tmp_path):
     train([small_pdb], ck, cfg, log_fn=lambda *a: None)
     model, params, cfg_loaded = load_fold_model(ck)
     assert cfg_loaded.use_flash_attn is False  # cpu backend in tests
+
+
+def test_resume_across_lr_schedule_change_errors(small_pdb, tmp_path):
+    """lr_schedule shapes the optax state tree (adamw(float) -> EmptyState,
+    adamw(schedule) -> ScaleByScheduleState), so resuming across a schedule
+    change must fail the loud config check, not the orbax restore."""
+    import dataclasses
+
+    from protstruc_tpu.train import TrainConfig, train
+
+    ck = str(tmp_path / "ck_sched")
+    cfg = TrainConfig(steps=2, batch_size=1, node_dim=16, pair_dim=8,
+                      n_heads=2, n_blocks=1, n_ipa_iter=2, n_recycle=0,
+                      save_every=0, shuffle=False)
+    train([small_pdb], ck, cfg, log_fn=lambda *a: None)
+    cosine = dataclasses.replace(cfg, steps=4, lr_schedule="warmup_cosine")
+    with pytest.raises(ValueError, match="lr_schedule"):
+        train([small_pdb], ck, cosine, log_fn=lambda *a: None)
+
+
+def test_cadence_aligned_final_eval_not_duplicated(small_pdb, tmp_path):
+    """steps on the save_every cadence: the in-loop eval at the final step
+    is the final eval — no second identical metrics.jsonl row, no second
+    full held-out pass."""
+    from protstruc_tpu.train import TrainConfig, train
+
+    ck = str(tmp_path / "ck_dup_eval")
+    cfg = TrainConfig(steps=2, batch_size=1, node_dim=16, pair_dim=8,
+                      n_heads=2, n_blocks=1, n_ipa_iter=2, n_recycle=0,
+                      save_every=2, shuffle=False)
+    m = train([small_pdb], ck, cfg, eval_paths=[small_pdb],
+              log_fn=lambda *a: None)
+    assert "eval_ca_lddt" in m  # result still carries the final eval
+    rows = [json.loads(l) for l in open(os.path.join(ck, "metrics.jsonl"))]
+    final_rows = [r for r in rows
+                  if r.get("step") == 2 and "eval_ca_lddt" in r]
+    assert len(final_rows) == 1
