@@ -85,28 +85,22 @@ def compute_baselines(path, key):
 
 
 def eval_per_structure(model, params, cfg, paths):
-    """Final per-held-out-structure metrics with the trained model."""
-    import jax.numpy as jnp
-    import numpy as np
+    """Final per-held-out-structure metrics with the trained model.
 
-    from protstruc_tpu.ops.metrics import lddt, rmsd
-    from protstruc_tpu.train import _featurize
-    from protstruc_tpu.utils.buckets import pad_batch_to_bucket
+    Structures longer than ``cfg.eval_max_len`` are scored on contiguous
+    windows (train.eval_batch_metrics — memory cap: full-length 8gpi at
+    2364 residues OOMs one v5e), recorded via ``eval_windows``."""
+    from protstruc_tpu.train import eval_batch_metrics
 
     out = {}
     for path in paths:
         sb, _, _ = _native_ca(path)
-        sb = pad_batch_to_bucket(sb)
-        feats, _target, sb = _featurize(sb, cfg, model.trunk_cfg)
-        pred = model.apply({"params": params}, feats)["xyz"][:, :, 1]
-        ca_true = jnp.nan_to_num(sb.xyz[:, :, 1], nan=1e6)
-        mask = sb.residue_mask & jnp.isfinite(sb.xyz[:, :, 1]).all(-1)
-        out[os.path.basename(path)] = {
-            "ca_lddt": round(float(np.asarray(
-                lddt(pred, ca_true, mask=mask)).mean()), 4),
-            "ca_rmsd": round(float(np.asarray(
-                rmsd(pred, ca_true, mask=mask, align=True)).mean()), 3),
-        }
+        l, r, n_windows = eval_batch_metrics(model, params, cfg, sb)
+        rec = {"ca_lddt": round(float(l[0]), 4),
+               "ca_rmsd": round(float(r[0]), 3)}
+        if n_windows > 1:
+            rec["eval_windows"] = n_windows
+        out[os.path.basename(path)] = rec
     return out
 
 

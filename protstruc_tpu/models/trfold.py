@@ -95,6 +95,13 @@ class TrFoldConfig:
     # dominant cost at long L.  An extra_mask (AR InverseFold decoding)
     # is folded into the additive bias with the jnp path's -1e9.
     use_flash_attn: bool = False
+    # Sequence-parallel flash: a jax.sharding.Mesh whose ("dp", "sp", "tp")
+    # axes carry the train step.  When set with sp > 1 (and use_flash_attn),
+    # node attention runs as RING flash attention (ops/ring_attn.py): k/v
+    # blocks rotate over the sp axis via ppermute with an online-softmax
+    # merge, so neither the (B, H, L, L) bias nor the keys are ever
+    # gathered.  None (default) = single-device / GSPMD flash.
+    ring_mesh: Any = None
 
 
 def featurize_for_model(batch, use_pallas: bool = False, fused: bool = False,
@@ -226,8 +233,18 @@ class PairBiasAttention(nn.Module):
         if cfg.use_flash_attn:
             from protstruc_tpu.ops.flash_attn import flash_pair_bias_attention
 
+            if (cfg.ring_mesh is not None
+                    and cfg.ring_mesh.shape.get("sp", 1) > 1):
+                from protstruc_tpu.ops.ring_attn import ring_attention_sharded
+
+                def attend(q, k, v, bias, mask):
+                    return ring_attention_sharded(
+                        q, k, v, bias, mask, cfg.ring_mesh)
+            else:
+                attend = flash_pair_bias_attention
+
             if extra_mask is None:
-                out = flash_pair_bias_attention(q, k, v, bias, mask)
+                out = attend(q, k, v, bias, mask)
             else:
                 # Fold the (B, L, L) attend-mask into the additive bias
                 # (same -1e9 the jnp path uses).  The one semantic gap is
@@ -240,7 +257,7 @@ class PairBiasAttention(nn.Module):
                 fbias = (bias.astype(jnp.float32)
                          + jnp.where(extra_mask[:, None], 0.0, neg)
                          ).astype(bias.dtype)
-                out = flash_pair_bias_attention(q, k, v, fbias, mask)
+                out = attend(q, k, v, fbias, mask)
                 row_ok = jnp.any(extra_mask & mask[:, None, :], axis=-1)
                 out = jnp.where(row_ok[:, :, None, None], out, 0.0)
             return nn.DenseGeneral(cfg.node_dim, axis=(-2, -1), name="out",

@@ -20,6 +20,7 @@ from protstruc_tpu.ops.rigid import (
 )
 from protstruc_tpu.ops.idealize import idealize_backbone
 from protstruc_tpu.ops.flash_attn import flash_pair_bias_attention
+from protstruc_tpu.ops.ring_attn import ring_attention_sharded
 from protstruc_tpu.ops.secondary import assign_secondary_structure, hbond_energy_map
 from protstruc_tpu.ops.diffusion import (
     cosine_variance_schedule,

@@ -29,7 +29,8 @@ op shards over the batch (dp) and head (tp) axes exactly like the jnp
 einsum path would, with the residue axes declared ``need_replication`` (a
 flash kernel needs every key for its online softmax; under sequence
 parallelism the partitioner inserts the all-gathers, which for the
-``(B, H, L, L)`` bias defeats the point — prefer the jnp path under sp>1).
+``(B, H, L, L)`` bias defeats the point — under sp>1 use ring attention,
+ops/ring_attn.py, which keeps everything sharded and rotates k/v blocks).
 
 The reference package has no attention / model stack at all (this module
 serves the model families the rebuild adds on top of protstruc's
@@ -48,7 +49,8 @@ from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-__all__ = ["flash_pair_bias_attention", "pair_bias_attention_reference"]
+__all__ = ["flash_pair_bias_attention", "flash_pair_bias_attention_lse",
+           "pair_bias_attention_reference"]
 
 _NEG = -1e30          # masked-logit sentinel (finite: keeps exp() exact zeroes)
 _LSE_MASKED = 1e30    # logsumexp pin for fully-masked query rows
@@ -476,6 +478,16 @@ def flash_pair_bias_attention(q, k, v, bias, kmask, *,
     op shards over batch/head axes (custom_partitioning); residue axes are
     replicated per shard.
     """
+    q, k, v, bias, kmaskf, tile_q, tile_k, L, interpret = _pad_and_tiles(
+        q, k, v, bias, kmask, tile_q, tile_k, interpret)
+    out = _flash_core(q, k, v, bias, kmaskf, tile_q, tile_k, interpret)
+    return out[:, :L]
+
+
+def _pad_and_tiles(q, k, v, bias, kmask, tile_q, tile_k, interpret):
+    """Shared input validation, tile clamping and padding for the public
+    entry points.  Returns the padded operands plus the resolved tiles,
+    the original L (for un-padding) and the resolved interpret flag."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, L, H, dh = q.shape
@@ -502,6 +514,72 @@ def flash_pair_bias_attention(q, k, v, bias, kmask, *,
         q, k, v = (jnp.pad(x, pad_l) for x in (q, k, v))
         bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad), (0, pad)))
     kmaskf = jnp.pad(kmask.astype(jnp.float32), ((0, 0), (0, pad)))
+    return q, k, v, bias, kmaskf, tile_q, tile_k, L, interpret
 
-    out = _flash_core(q, k, v, bias, kmaskf, tile_q, tile_k, interpret)
-    return out[:, :L]
+
+# ---------------------------------------------------------------------------
+# lse-returning variant: the mergeable building block for ring attention
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_core_lse(q, k, v, bias, kmaskf, tile_q, tile_k, interpret):
+    out, lse = _fwd_public(q, k, v, bias, kmaskf, tile_q, tile_k, interpret)
+    return out, jnp.where(lse >= _LSE_MASKED, -jnp.inf, lse)
+
+
+def _flash_core_lse_fwd(q, k, v, bias, kmaskf, tile_q, tile_k, interpret):
+    out, lse = _fwd_public(q, k, v, bias, kmaskf, tile_q, tile_k, interpret)
+    # external convention: -inf on fully-masked rows (neutral in the
+    # logaddexp merge ops/ring_attn.py does), vs the kernel's +1e30 pin
+    ext = jnp.where(lse >= _LSE_MASKED, -jnp.inf, lse)
+    return (out, ext), (q, k, v, bias, kmaskf, out, lse)
+
+
+def _flash_core_lse_bwd(tile_q, tile_k, interpret, res, g):
+    q, k, v, bias, kmaskf, out, lse = res
+    g_out, g_lse = g
+    do = g_out.astype(jnp.float32)
+    delta = jnp.moveaxis(
+        jnp.sum(do * out.astype(jnp.float32), axis=-1), 2, 1)   # (B, H, L)
+    # d lse_i / d s_ij = p_ij, and the kernel computes ds = p * (dp - delta)
+    # — so folding the lse cotangent into delta (delta - g_lse) adds
+    # g_lse * p exactly.  Fully-masked rows have p = 0 identically (their
+    # saved lse stays at the kernel's +1e30 pin), so sanitizing a non-finite
+    # cotangent there to 0 changes nothing.
+    g_lse = jnp.nan_to_num(g_lse.astype(jnp.float32),
+                           nan=0.0, posinf=0.0, neginf=0.0)
+    ds, dk, dv = _bwd_public(q, k, v, bias, kmaskf, g_out, lse,
+                             delta - g_lse, tile_q, tile_k, interpret)
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    dq = (jnp.einsum("bhqk,bkhd->bqhd", ds, k,
+                     preferred_element_type=jnp.float32,
+                     precision=_prec(k.dtype)) * scale)
+    return (dq.astype(q.dtype), dk, dv, ds.astype(bias.dtype),
+            jnp.zeros_like(kmaskf))
+
+
+_flash_core_lse.defvjp(_flash_core_lse_fwd, _flash_core_lse_bwd)
+
+
+def flash_pair_bias_attention_lse(q, k, v, bias, kmask, *,
+                                  tile_q: int = 512, tile_k: int = 2048,
+                                  interpret: bool | None = None):
+    """Fused flash attention that also returns the per-row logsumexp.
+
+    Same semantics and arguments as :func:`flash_pair_bias_attention`, plus
+    a second output ``lse (B, H, L)`` float32 — the softmax denominator in
+    log space, ``-inf`` on fully-masked query rows.  ``(out, lse)`` is the
+    mergeable representation blockwise/ring attention needs: two partial
+    results over disjoint key sets combine as
+    ``w_a, w_b = exp(lse_a - lse), exp(lse_b - lse)`` with
+    ``lse = logaddexp(lse_a, lse_b)`` and ``out = w_a out_a + w_b out_b``
+    (see ops/ring_attn.py).  Differentiable wrt q/k/v/bias for cotangents
+    of BOTH outputs.  Unlike the single-output entry point this one is NOT
+    GSPMD-partitioned — it is meant to run on local shards inside
+    ``shard_map``, where every operand is already device-local.
+    """
+    q, k, v, bias, kmaskf, tile_q, tile_k, L, interpret = _pad_and_tiles(
+        q, k, v, bias, kmask, tile_q, tile_k, interpret)
+    out, lse = _flash_core_lse(q, k, v, bias, kmaskf,
+                               tile_q, tile_k, interpret)
+    return out[:, :L], lse[:, :, :L]

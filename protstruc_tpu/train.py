@@ -89,7 +89,8 @@ class TrainConfig:
     # fused flash pair-bias attention (ops/flash_attn.py) for the trunk's
     # node attention: online softmax over key tiles in a Pallas kernel, no
     # (B, H, L, L) logits/probs in HBM — the long-L node-attention lever
-    # (1.8-2.9x fwd+bwd on v5e). Shards over dp/tp meshes; sp>1 rejected.
+    # (1.8-2.9x fwd+bwd on v5e). Shards over dp/tp meshes; under sp>1 the
+    # trunk switches to ring flash attention (ops/ring_attn.py).
     use_flash_attn: bool = False
     # observability: append {"step", "loss", "ms", "t"} lines to
     # <checkpoint_dir>/metrics.jsonl every log interval; capture an XProf
@@ -110,6 +111,13 @@ class TrainConfig:
     # replicating them (parallel/zero.py) — saves 8 bytes/param/replica
     # of HBM at the cost of one all-gather per step that GSPMD inserts
     zero1: bool = False
+    # held-out eval memory cap: the trunk's O(L^2 P) pair stream (and the
+    # triangle O(L^3 P) contractions) OOM one v5e near L ~ 2400 at the
+    # production eval config, so structures longer than this evaluate on
+    # contiguous windows, metrics averaged weighted by valid residues.
+    # Windowed lDDT excludes cross-window contacts (documented
+    # approximation).  None/0 disables the cap.
+    eval_max_len: Optional[int] = 1024
 
     def to_json(self) -> str:
         d = dataclasses.asdict(self)
@@ -211,7 +219,7 @@ def _find_ema(opt_state):
     return found[0]
 
 
-def _build_model(cfg: TrainConfig):
+def _build_model(cfg: TrainConfig, ring_mesh=None):
     from protstruc_tpu.models.ipa import FoldModel, IPAConfig
     from protstruc_tpu.models.trfold import TrFoldConfig
 
@@ -220,7 +228,8 @@ def _build_model(cfg: TrainConfig):
                          n_heads=cfg.n_heads, n_blocks=cfg.n_blocks,
                          dtype=dtype, pair_update=cfg.pair_update,
                          remat=cfg.remat, remat_policy=cfg.remat_policy,
-                         use_flash_attn=cfg.use_flash_attn)
+                         use_flash_attn=cfg.use_flash_attn,
+                         ring_mesh=ring_mesh)
     return FoldModel(
         trunk_cfg=trunk,
         ipa_cfg=IPAConfig(n_heads=cfg.n_heads, n_iter=cfg.n_ipa_iter),
@@ -262,23 +271,102 @@ def _jitted_apply(model):
                                                      feats))
 
 
-def evaluate(model, params, paths: Sequence[str], cfg: TrainConfig) -> dict:
-    """Held-out structure metrics: mean CA-lDDT and aligned CA-RMSD."""
+def _featurize_eval_window(batch, cfg: TrainConfig, trunk_cfg, seq_idx=None):
+    """Eval featurization for a residue window whose string ``seq``
+    metadata is stale (windowing slices the arrays but cannot slice the
+    per-chain sequence strings): ``seq_idx`` — pre-sliced, possibly
+    shorter than the bucket-padded window — overrides the identities.
+    Returns ``(feats, batch)``."""
+    import numpy as np
+
+    from protstruc_tpu.models.trfold import (
+        featurize_for_model, featurize_from_sequence)
+    from protstruc_tpu.vocab import AA
+
+    if seq_idx is None:
+        feats, _target, batch = _featurize(batch, cfg, trunk_cfg)
+        return feats, batch
+    pad = batch.n_residues - seq_idx.shape[1]
+    if pad:
+        seq_idx = np.pad(seq_idx, ((0, 0), (0, pad)),
+                         constant_values=int(AA.UNK))
+    target = featurize_for_model(batch, fused=True,
+                                 n_dist_bins=trunk_cfg.n_dist_bins,
+                                 max_dist=trunk_cfg.max_dist)
+    target["seq_idx"] = jnp.asarray(seq_idx)
+    if not cfg.sequence_only:
+        return target, batch
+    feats = featurize_from_sequence(target["seq_idx"], batch.chain_idx,
+                                    n_dist_bins=trunk_cfg.n_dist_bins)
+    feats["residue_mask"] = batch.residue_mask
+    return feats, batch
+
+
+def eval_batch_metrics(model, params, cfg: TrainConfig, batch):
+    """Per-structure ``(ca_lddt (B,), ca_rmsd (B,), n_windows)`` for one
+    batch, windowing structures longer than ``cfg.eval_max_len``.
+
+    Windows are contiguous ``[s, s + eval_max_len)`` residue slices scored
+    independently and averaged weighted by valid-residue count — the
+    full-length pair tensors of very long chains (8gpi: 2364 residues)
+    exceed one chip's HBM otherwise.  Cross-window contacts are excluded
+    from the windowed lDDT (documented approximation).  Shared by
+    :func:`evaluate` and experiments/fold_generalization.py."""
     import numpy as np
 
     from protstruc_tpu.ops.metrics import lddt, rmsd
+    from protstruc_tpu.utils.buckets import pad_batch_to_bucket
+
+    L = batch.n_residues
+    cap = cfg.eval_max_len or L
+    wins = ([(0, L)] if L <= cap
+            else [(s, min(s + cap, L)) for s in range(0, L, cap)])
+    seq_idx = (np.asarray(batch.get_seq_idx())
+               if len(wins) > 1 and batch.seq is not None else None)
+
+    num_l = np.zeros(batch.batch_size)
+    num_r = np.zeros(batch.batch_size)
+    den = np.zeros(batch.batch_size)
+    for s, e in wins:
+        if len(wins) == 1:
+            w, sidx = pad_batch_to_bucket(batch), None
+        else:
+            w = pad_batch_to_bucket(batch.replace(
+                xyz=batch.xyz[:, s:e], atom_mask=batch.atom_mask[:, s:e],
+                chain_idx=batch.chain_idx[:, s:e],
+                residue_idx=batch.residue_idx[:, s:e],
+                seq=None, chain_ids=None))
+            sidx = seq_idx[:, s:e] if seq_idx is not None else None
+        feats, w = _featurize_eval_window(w, cfg, model.trunk_cfg, sidx)
+        out = _jitted_apply(model)(params, feats)
+        ca_true = jnp.nan_to_num(w.xyz[:, :, 1], nan=1e6)
+        mask = w.residue_mask & jnp.isfinite(w.xyz[:, :, 1]).all(-1)
+        nv = np.asarray(mask.sum(axis=1), dtype=float)
+        l = np.asarray(lddt(out["xyz"][:, :, 1], ca_true, mask=mask))
+        r = np.asarray(rmsd(out["xyz"][:, :, 1], ca_true, mask=mask,
+                            align=True))
+        num_l += np.where(nv > 0, l, 0.0) * nv
+        num_r += np.where(nv > 0, r, 0.0) * nv
+        den += nv
+    den = np.maximum(den, 1.0)
+    return num_l / den, num_r / den, len(wins)
+
+
+def evaluate(model, params, paths: Sequence[str], cfg: TrainConfig) -> dict:
+    """Held-out structure metrics: mean CA-lDDT and aligned CA-RMSD.
+
+    Structures longer than ``cfg.eval_max_len`` are scored on contiguous
+    windows (see :func:`eval_batch_metrics`)."""
+    import numpy as np
+
     from protstruc_tpu.pdbio.dataset import StructureDataset
 
     ls, rs = [], []
     for batch in StructureDataset(list(paths), batch_size=cfg.batch_size,
                                   shuffle=False):
-        feats, _target, batch = _featurize(batch, cfg, model.trunk_cfg)
-        out = _jitted_apply(model)(params, feats)
-        ca_true = jnp.nan_to_num(batch.xyz[:, :, 1], nan=1e6)
-        mask = batch.residue_mask & jnp.isfinite(batch.xyz[:, :, 1]).all(-1)
-        ls.append(np.asarray(lddt(out["xyz"][:, :, 1], ca_true, mask=mask)))
-        rs.append(np.asarray(rmsd(out["xyz"][:, :, 1], ca_true, mask=mask,
-                                  align=True)))
+        l, r, _ = eval_batch_metrics(model, params, cfg, batch)
+        ls.append(l)
+        rs.append(r)
     return {"eval_ca_lddt": float(np.concatenate(ls).mean()),
             "eval_ca_rmsd": float(np.concatenate(rs).mean())}
 
@@ -310,23 +398,22 @@ def train(
             "zero1=True requires mesh_shape: ZeRO-1 partitions optimizer "
             "state over the dp mesh axis — without a mesh it would be "
             "silently ignored")
-    if (cfg.use_flash_attn and cfg.mesh_shape is not None
-            and cfg.mesh_shape[1] > 1):
-        raise ValueError(
-            "use_flash_attn=True shards over dp/tp (custom_partitioning) "
-            "but not sp: a flash kernel needs every key per query row, so "
-            f"under sp={cfg.mesh_shape[1]} the partitioner would all-gather "
-            "the (B, H, L, L) pair bias every layer — slower than the "
-            "sp-sharded jnp path. Use mesh_shape=(dp, 1, tp) with flash "
-            "attention, or drop use_flash_attn under sequence parallelism.")
-    model = _build_model(cfg)
-    tx = _build_tx(cfg)
-
     mesh = None
     if cfg.mesh_shape is not None:
         from protstruc_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(axis_shapes=cfg.mesh_shape)
+    # flash + sequence parallelism = ring attention: k/v blocks rotate over
+    # the sp axis (ppermute) with an online-softmax merge, so neither the
+    # (B, H, L, L) bias nor the keys are ever gathered (ops/ring_attn.py)
+    ring_mesh = (mesh if (cfg.use_flash_attn and cfg.mesh_shape is not None
+                          and cfg.mesh_shape[1] > 1) else None)
+    if ring_mesh is not None:
+        log_fn(f"[train] flash attention rings over sp={cfg.mesh_shape[1]}")
+    model = _build_model(cfg, ring_mesh=ring_mesh)
+    tx = _build_tx(cfg)
+
+    if cfg.mesh_shape is not None:
         log_fn(f"[train] mesh dp={cfg.mesh_shape[0]} sp={cfg.mesh_shape[1]} "
                f"tp={cfg.mesh_shape[2]} over {mesh.size} devices")
 

@@ -307,7 +307,8 @@ def test_final_offcadence_eval_row_persisted(small_pdb, tmp_path):
 
 def test_mesh_flash_attn_train(small_pdb, tmp_path):
     """Flash attention under a dp/tp mesh: the custom_partitioning rules
-    shard the kernel over batch + heads; sp>1 is rejected with guidance."""
+    shard the kernel over batch + heads; under sp>1 the trunk switches to
+    ring flash attention (ops/ring_attn.py) instead of rejecting."""
     import jax
     import pytest
 
@@ -320,10 +321,12 @@ def test_mesh_flash_attn_train(small_pdb, tmp_path):
                 n_heads=2, n_blocks=1, n_ipa_iter=2, n_recycle=0,
                 save_every=0, shuffle=False, use_flash_attn=True)
 
-    with pytest.raises(ValueError, match="sp"):
-        train([small_pdb], str(tmp_path / "ck_sp"),
+    logs = []
+    m = train([small_pdb] * 4, str(tmp_path / "ck_ring"),
               TrainConfig(mesh_shape=(2, 2, 2), **base),
-              log_fn=lambda *a: None)
+              log_fn=lambda s: logs.append(s))
+    assert np.isfinite(m["final_loss"])
+    assert any("rings over sp=2" in s for s in logs)
 
     m = train([small_pdb] * 4, str(tmp_path / "ck_flash_mesh"),
               TrainConfig(mesh_shape=(4, 1, 2), **base),
@@ -382,3 +385,43 @@ def test_cadence_aligned_final_eval_not_duplicated(small_pdb, tmp_path):
     final_rows = [r for r in rows
                   if r.get("step") == 2 and "eval_ca_lddt" in r]
     assert len(final_rows) == 1
+
+
+def test_eval_windowing_long_structures(small_pdb, tmp_path):
+    """Structures longer than eval_max_len evaluate on contiguous windows
+    (full-length pair tensors of very long chains OOM one chip — 8gpi is
+    2364 residues); metrics stay finite and the window count is exposed."""
+    import dataclasses
+
+    import jax
+
+    from protstruc_tpu.train import (TrainConfig, _build_model,
+                                     eval_batch_metrics, evaluate)
+    from protstruc_tpu.train import _featurize
+    from protstruc_tpu.utils.buckets import pad_batch_to_bucket
+    import protstruc_tpu as ps
+
+    cfg = TrainConfig(steps=1, batch_size=1, node_dim=16, pair_dim=8,
+                      n_heads=2, n_blocks=1, n_ipa_iter=2, n_recycle=0,
+                      eval_max_len=48)
+    model = _build_model(cfg)
+    sb = ps.StructureBatch.from_pdb("tests/data/1REX.pdb")  # 130 residues
+    feats, _, _ = _featurize(pad_batch_to_bucket(sb), cfg, model.trunk_cfg)
+    params = model.init(jax.random.PRNGKey(0), feats)["params"]
+
+    l, r, n_windows = eval_batch_metrics(model, params, cfg, sb)
+    assert n_windows == 3  # ceil(130 / 48)
+    assert np.isfinite(l).all() and np.isfinite(r).all()
+
+    # uncapped: single window
+    _, _, nw = eval_batch_metrics(
+        model, params, dataclasses.replace(cfg, eval_max_len=None), sb)
+    assert nw == 1
+
+    # sequence-only mode routes identities through the stale-seq override
+    lq, _, nwq = eval_batch_metrics(
+        model, params, dataclasses.replace(cfg, sequence_only=True), sb)
+    assert nwq == 3 and np.isfinite(lq).all()
+
+    ev = evaluate(model, params, ["tests/data/1REX.pdb"], cfg)
+    assert np.isfinite(ev["eval_ca_lddt"]) and np.isfinite(ev["eval_ca_rmsd"])
