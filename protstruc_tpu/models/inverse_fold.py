@@ -50,6 +50,9 @@ class InverseFoldConfig:
     # route node attention (encoder + causal decoder) through the fused
     # flash Pallas kernel — see models/trfold.py TrFoldConfig.use_flash_attn
     use_flash_attn: bool = False
+    # sequence-parallel mesh for ring flash attention under sp > 1
+    # (TrFoldConfig.ring_mesh / ops/ring_attn.py)
+    ring_mesh: Any = None
 
 
 def featurize_backbone(batch) -> Dict[str, jnp.ndarray]:
@@ -117,6 +120,7 @@ class InverseFold(nn.Module):
             node_dim=cfg.node_dim, pair_dim=cfg.pair_dim,
             n_heads=cfg.n_heads, dtype=cfg.dtype,
             use_flash_attn=cfg.use_flash_attn,
+            ring_mesh=cfg.ring_mesh,
         )
         for i in range(cfg.n_blocks):
             node = node + PairBiasAttention(tr_cfg, name=f"attn_{i}")(

@@ -165,3 +165,32 @@ def test_ring_bfloat16():
         v.astype(jnp.float32), bias.astype(jnp.float32), kmask)
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref), rtol=0, atol=3e-2)
+
+
+def test_ring_with_folded_extra_mask_matches_jnp():
+    """The AR decoder folds its causal mask into the bias as -1e9 (see
+    models/trfold.py PairBiasAttention): the ring path must reproduce the
+    jnp extra-mask semantics through the same folding, including the
+    post-zeroed rows whose every key is causally disallowed."""
+    import jax.numpy as jnp
+
+    q, k, v, bias, kmask = _inputs(B=2, L=32, n_valid=None)
+    L = 32
+    causal = jnp.tril(jnp.ones((L, L), bool), k=-1)[None]  # row 0: no keys
+    fbias = bias + jnp.where(causal[:, None], 0.0, -1e9)
+    mesh = _sp_mesh(sp=4)
+    out = ring_attention_sharded(q, k, v, fbias, kmask, mesh,
+                                 local="jnp", interpret=True)
+    row_ok = jnp.any(causal & kmask[:, None, :], axis=-1)
+    out = jnp.where(row_ok[:, :, None, None], out, 0.0)
+
+    # jnp reference with the explicit extra mask
+    dh = q.shape[-1]
+    logits = jnp.einsum("blhd,bmhd->bhlm", q, k) / np.sqrt(dh) + bias
+    allowed = kmask[:, None, None, :] & causal[:, None]
+    logits = jnp.where(allowed, logits, -1e9)
+    attn = jax.nn.softmax(logits, axis=-1)
+    attn = jnp.where(allowed, attn, 0.0)
+    ref = jnp.einsum("bhlm,bmhd->blhd", attn, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=3e-5)
