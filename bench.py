@@ -883,6 +883,32 @@ def run_smoke(rtt):
             gerr = float(jnp.abs(gf - gr).max())
             assert gerr < 5e-4, f"flash bwd parity {gerr:.2e}"
 
+    @stage("ring-attn-parity")
+    def _():
+        # the ring construction on a 1-device mesh: sp=1 degenerates to a
+        # single (no-op ppermute) step, but still drives the lse-returning
+        # Mosaic kernel + the online-softmax merge on the live chip — the
+        # pieces tests/test_ring_attn.py can only run in interpret mode
+        from jax.sharding import Mesh
+
+        from protstruc_tpu.ops.flash_attn import pair_bias_attention_reference
+        from protstruc_tpu.ops.ring_attn import ring_attention_sharded
+
+        ks = jax.random.split(jax.random.PRNGKey(5), 4)
+        q = jax.random.normal(ks[0], (1, 96, 2, 16))
+        k = jax.random.normal(ks[1], (1, 96, 2, 16))
+        v = jax.random.normal(ks[2], (1, 96, 2, 16))
+        bias = jax.random.normal(ks[3], (1, 2, 96, 96))
+        kmask = jnp.ones((1, 96), bool).at[0, -8:].set(False)
+        mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1, 1),
+                    ("dp", "sp", "tp"))
+        with jax.default_matmul_precision("highest"):
+            out = ring_attention_sharded(q, k, v, bias, kmask, mesh,
+                                         local="flash")
+            ref = pair_bias_attention_reference(q, k, v, bias, kmask)
+            err = float(jnp.abs(out - ref).max())
+            assert err < 2e-5, f"ring parity {err:.2e}"
+
     @stage("aot-dispatcher")
     def _():
         from protstruc_tpu.utils.aot import precompile_featurizer
