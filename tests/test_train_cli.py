@@ -333,6 +333,15 @@ def test_mesh_flash_attn_train(small_pdb, tmp_path):
               log_fn=lambda *a: None)
     assert np.isfinite(m["final_loss"])
 
+    # ring composes with the full production trunk: remat (tri_dots
+    # policy) + triangle pair updates around the shard_map/ppermute island
+    m = train([small_pdb] * 4, str(tmp_path / "ck_ring_remat"),
+              TrainConfig(mesh_shape=(2, 2, 2), remat=True,
+                          pair_update="triangle", remat_policy="tri_dots",
+                          **base),
+              log_fn=lambda *a: None)
+    assert np.isfinite(m["final_loss"])
+
 
 def test_flash_checkpoint_loads_jnp_path_off_tpu(small_pdb, tmp_path):
     """A flash-trained checkpoint folds off-TPU via the jnp attention (the
