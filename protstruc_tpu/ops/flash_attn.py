@@ -227,8 +227,21 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, do_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
+def _bwd_tiles(tile_q: int, tile_k: int) -> tuple:
+    """Backward tile cap: the bwd kernel keeps more (tile_q, tile_k) f32
+    planes live than the forward (s, p, dp, ds, plus the bias tile and the
+    dh-padded operand tiles), and at 512x2048 Mosaic's scoped-vmem
+    allocation overflows the 16M limit (observed 18.05M at dh=16, L=3072
+    padded to 4096).  Halve tile_k until the plane area fits with margin;
+    any power-of-two reduction still divides the forward-padded Lp."""
+    while tile_q * tile_k > 512 * 1024 and tile_k > 128:
+        tile_k //= 2
+    return tile_q, tile_k
+
+
 def _bwd_call(q, k, v, bias, kmask, do, lse, delta, tile_q, tile_k, interpret):
     """Returns (ds (BH, L, L) in bias dtype, dk/dv (BH, L, dh) in q dtype)."""
+    tile_q, tile_k = _bwd_tiles(tile_q, tile_k)
     BH, L, dh = q.shape
     B = kmask.shape[0]
     H = BH // B
