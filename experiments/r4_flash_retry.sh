@@ -6,7 +6,18 @@
 set -u
 cd /root/repo
 
-QPID=$(cat /tmp/r4_session_queue.pid)
+# guard against a missing/empty/stale pidfile: falling through the wait
+# would contend with the session queue on the single relay chip — the
+# exact condition this chaining exists to prevent
+PIDFILE=/tmp/r4_session_queue.pid
+until [ -s "$PIDFILE" ]; do
+  echo "[flashretry] waiting for $PIDFILE"
+  sleep 60
+done
+QPID=$(cat "$PIDFILE")
+case "$QPID" in
+  ''|*[!0-9]*) echo "[flashretry] bad pid '$QPID'; aborting"; exit 1 ;;
+esac
 while kill -0 "$QPID" 2>/dev/null; do
   sleep 120
 done

@@ -117,8 +117,7 @@ def ring_pair_bias_attention(q, k, v, bias, kmask, *,
     # k/v block originally sharded onto device (i + t) mod n
     perm = [(j, (j - 1) % n) for j in range(n)]
 
-    def step(carry, t):
-        acc, lse_tot, k_s, v_s, km_s = carry
+    def attend_merge(acc, lse_tot, k_s, v_s, km_s, t):
         src = (idx + t) % n
         b_s = jax.lax.dynamic_slice(
             bias, (0, 0, 0, src * Lq), (B, H, Lq, Lq))
@@ -133,18 +132,28 @@ def ring_pair_bias_attention(q, k, v, bias, kmask, *,
         safe = jnp.where(jnp.isfinite(new), new, 0.0)
         w_prev = jnp.moveaxis(jnp.exp(lse_tot - safe), 1, 2)[..., None]
         w_new = jnp.moveaxis(jnp.exp(lse_s - safe), 1, 2)[..., None]
-        acc = acc * w_prev + out_s.astype(jnp.float32) * w_new
+        return acc * w_prev + out_s.astype(jnp.float32) * w_new, new
 
+    def step(carry, t):
+        acc, lse_tot, k_s, v_s, km_s = carry
+        acc, lse_tot = attend_merge(acc, lse_tot, k_s, v_s, km_s, t)
         k_s = jax.lax.ppermute(k_s, axis_name, perm)
         v_s = jax.lax.ppermute(v_s, axis_name, perm)
         km_s = jax.lax.ppermute(km_s, axis_name, perm)
-        return (acc, new, k_s, v_s, km_s), None
+        return (acc, lse_tot, k_s, v_s, km_s), None
 
     acc0 = jnp.zeros((B, Lq, H, dh), jnp.float32)
     lse0 = jnp.full((B, H, Lq), -jnp.inf, jnp.float32)
     kmaskf = kmask.astype(jnp.float32)  # bools don't ride ppermute
-    (acc, _, _, _, _), _ = jax.lax.scan(
-        step, (acc0, lse0, k, v, kmaskf), jnp.arange(n))
+    carry = (acc0, lse0, k, v, kmaskf)
+    if n > 1:
+        # scan covers steps 0..n-2 (each ends with a rotation); the last
+        # visiting block is attended outside so its rotation — whose
+        # result nobody reads, forward or transposed backward — is never
+        # emitted (n-1 ICI exchanges per call, not n)
+        carry, _ = jax.lax.scan(step, carry, jnp.arange(n - 1))
+    acc, lse_tot, k_s, v_s, km_s = carry
+    acc, _ = attend_merge(acc, lse_tot, k_s, v_s, km_s, n - 1)
     return acc.astype(q.dtype)
 
 

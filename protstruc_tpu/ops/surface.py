@@ -185,14 +185,15 @@ def contact_order(
         & mask[:, :, None]
         & mask[:, None, :]
     )
+    same = None
     if chain_idx is not None:
-        contact = contact & (chain_idx[:, :, None] == chain_idx[:, None, :])
+        same = chain_idx[:, :, None] == chain_idx[:, None, :]
+        contact = contact & same
     contact = contact.astype(ca.dtype)
 
     n_contacts = jnp.maximum(jnp.sum(contact, axis=(1, 2)), 1.0)
     if relative and chain_idx is not None:
         # per-chain Plaxco L: length of the chain residue i belongs to
-        same = (chain_idx[:, :, None] == chain_idx[:, None, :])
         chain_len = jnp.maximum(
             jnp.sum(same & mask[:, None, :], axis=-1).astype(ca.dtype), 1.0)
         co = jnp.sum(contact * (sep[None] / chain_len[:, :, None]),

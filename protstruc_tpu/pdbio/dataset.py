@@ -137,11 +137,15 @@ class StructureDataset:
                     top_up()
                     while inflight:
                         parsed = inflight.popleft().result()
-                        top_up()
+                        # check stop BEFORE refilling: the consumer may
+                        # have abandoned the epoch while .result() blocked,
+                        # and topping up first would submit (then cancel)
+                        # up to 2*n_workers parses nobody wants
                         if stop.is_set():
                             for f in inflight:
                                 f.cancel()
                             return
+                        top_up()
                         b = bucket_length(parsed.n_residues, self.buckets)
                         key = b if b in pending else None
                         pending[key].append(parsed)

@@ -237,11 +237,26 @@ def _build_model(cfg: TrainConfig, ring_mesh=None):
     )
 
 
-def _featurize(batch, cfg: TrainConfig, trunk_cfg, key=None):
+def _featurize(batch, cfg: TrainConfig, trunk_cfg, key=None,
+               seq_idx_override=None):
+    """``seq_idx_override``: pre-computed ``(B, <= L)`` residue identities
+    for batches whose string ``seq`` metadata is stale (eval windows slice
+    the arrays but cannot slice the per-chain sequence strings); padded to
+    the batch length with UNK."""
+    import numpy as np
+
     from protstruc_tpu.models.trfold import (
         featurize_for_model, featurize_from_sequence)
+    from protstruc_tpu.vocab import AA
 
-    seq_idx = batch.get_seq_idx() if batch.seq is not None else None
+    if seq_idx_override is not None:
+        pad = batch.n_residues - seq_idx_override.shape[1]
+        seq_idx = jnp.asarray(
+            np.pad(np.asarray(seq_idx_override), ((0, 0), (0, pad)),
+                   constant_values=int(AA.UNK)) if pad
+            else seq_idx_override)
+    else:
+        seq_idx = batch.get_seq_idx() if batch.seq is not None else None
     if cfg.crop_len and key is not None and cfg.crop_len < batch.n_residues:
         if seq_idx is None:
             batch = batch.random_crop(key, cfg.crop_len)
@@ -271,37 +286,6 @@ def _jitted_apply(model):
                                                      feats))
 
 
-def _featurize_eval_window(batch, cfg: TrainConfig, trunk_cfg, seq_idx=None):
-    """Eval featurization for a residue window whose string ``seq``
-    metadata is stale (windowing slices the arrays but cannot slice the
-    per-chain sequence strings): ``seq_idx`` — pre-sliced, possibly
-    shorter than the bucket-padded window — overrides the identities.
-    Returns ``(feats, batch)``."""
-    import numpy as np
-
-    from protstruc_tpu.models.trfold import (
-        featurize_for_model, featurize_from_sequence)
-    from protstruc_tpu.vocab import AA
-
-    if seq_idx is None:
-        feats, _target, batch = _featurize(batch, cfg, trunk_cfg)
-        return feats, batch
-    pad = batch.n_residues - seq_idx.shape[1]
-    if pad:
-        seq_idx = np.pad(seq_idx, ((0, 0), (0, pad)),
-                         constant_values=int(AA.UNK))
-    target = featurize_for_model(batch, fused=True,
-                                 n_dist_bins=trunk_cfg.n_dist_bins,
-                                 max_dist=trunk_cfg.max_dist)
-    target["seq_idx"] = jnp.asarray(seq_idx)
-    if not cfg.sequence_only:
-        return target, batch
-    feats = featurize_from_sequence(target["seq_idx"], batch.chain_idx,
-                                    n_dist_bins=trunk_cfg.n_dist_bins)
-    feats["residue_mask"] = batch.residue_mask
-    return feats, batch
-
-
 def eval_batch_metrics(model, params, cfg: TrainConfig, batch):
     """Per-structure ``(ca_lddt (B,), ca_rmsd (B,), n_windows)`` for one
     batch, windowing structures longer than ``cfg.eval_max_len``.
@@ -316,6 +300,14 @@ def eval_batch_metrics(model, params, cfg: TrainConfig, batch):
 
     from protstruc_tpu.ops.metrics import lddt, rmsd
     from protstruc_tpu.utils.buckets import pad_batch_to_bucket
+
+    if getattr(model.trunk_cfg, "ring_mesh", None) is not None:
+        # eval batches can be partial/ragged (StructureDataset flushes
+        # remainders, eval_per_structure passes B=1) and the ring
+        # shard_map requires B % dp == 0 — ring changes no params, so
+        # evaluate on the single-device flash path instead
+        model = model.clone(trunk_cfg=dataclasses.replace(
+            model.trunk_cfg, ring_mesh=None))
 
     L = batch.n_residues
     cap = cfg.eval_max_len or L
@@ -337,7 +329,8 @@ def eval_batch_metrics(model, params, cfg: TrainConfig, batch):
                 residue_idx=batch.residue_idx[:, s:e],
                 seq=None, chain_ids=None))
             sidx = seq_idx[:, s:e] if seq_idx is not None else None
-        feats, w = _featurize_eval_window(w, cfg, model.trunk_cfg, sidx)
+        feats, _target, w = _featurize(w, cfg, model.trunk_cfg,
+                                       seq_idx_override=sidx)
         out = _jitted_apply(model)(params, feats)
         ca_true = jnp.nan_to_num(w.xyz[:, :, 1], nan=1e6)
         mask = w.residue_mask & jnp.isfinite(w.xyz[:, :, 1]).all(-1)

@@ -322,10 +322,14 @@ def test_mesh_flash_attn_train(small_pdb, tmp_path):
                 save_every=0, shuffle=False, use_flash_attn=True)
 
     logs = []
+    # eval_paths exercises the ragged/partial-batch eval under ring: the
+    # B=1 held-out batch cannot satisfy the ring shard_map's B % dp == 0,
+    # so eval_batch_metrics must strip ring_mesh (single-device flash)
     m = train([small_pdb] * 4, str(tmp_path / "ck_ring"),
               TrainConfig(mesh_shape=(2, 2, 2), **base),
-              log_fn=lambda s: logs.append(s))
+              log_fn=lambda s: logs.append(s), eval_paths=[small_pdb])
     assert np.isfinite(m["final_loss"])
+    assert np.isfinite(m["eval_ca_lddt"])
     assert any("rings over sp=2" in s for s in logs)
 
     m = train([small_pdb] * 4, str(tmp_path / "ck_flash_mesh"),
