@@ -232,16 +232,27 @@ def _bwd_tiles(tile_q: int, tile_k: int) -> tuple:
     planes live than the forward (s, p, dp, ds, plus the bias tile and the
     dh-padded operand tiles), and at 512x2048 Mosaic's scoped-vmem
     allocation overflows the 16M limit (observed 18.05M at dh=16, L=3072
-    padded to 4096).  Halve tile_k until the plane area fits with margin;
-    any power-of-two reduction still divides the forward-padded Lp."""
-    while tile_q * tile_k > 512 * 1024 and tile_k > 128:
-        tile_k //= 2
+    padded to 4096).  Shrink the QUERY tile first: the on-chip sweep
+    (experiments/attn_sweep.py) showed the speedup comes from large KEY
+    tiles (per-grid-step overhead amortizes over the streamed keys), so
+    256x2048 beats 512x1024 at equal VMEM area.  Any power-of-two
+    reduction still divides the forward-padded Lp."""
+    while tile_q * tile_k > 512 * 1024:
+        if tile_q > 256:
+            tile_q //= 2
+        elif tile_k > 128:
+            tile_k //= 2
+        else:
+            break
     return tile_q, tile_k
 
 
 def _bwd_call(q, k, v, bias, kmask, do, lse, delta, tile_q, tile_k, interpret):
-    """Returns (ds (BH, L, L) in bias dtype, dk/dv (BH, L, dh) in q dtype)."""
-    tile_q, tile_k = _bwd_tiles(tile_q, tile_k)
+    """Returns (ds (BH, L, L) in bias dtype, dk/dv (BH, L, dh) in q dtype).
+
+    Tiles arrive already resolved — the public entry points apply the
+    :func:`_bwd_tiles` scoped-vmem cap (or the caller's explicit
+    ``bwd_tiles`` override) before the core is traced."""
     BH, L, dh = q.shape
     B = kmask.shape[0]
     H = BH // B
@@ -418,26 +429,28 @@ def _bwd_partitioned(tile_q, tile_k, interpret):
 # public differentiable entry point
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _flash_core(q, k, v, bias, kmaskf, tile_q, tile_k, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_core(q, k, v, bias, kmaskf, tile_q, tile_k,
+                bwd_tq, bwd_tk, interpret):
     out, _ = _fwd_partitioned(tile_q, tile_k, interpret)(
         q, k, v, bias, kmaskf)
     return out
 
 
-def _flash_core_fwd(q, k, v, bias, kmaskf, tile_q, tile_k, interpret):
+def _flash_core_fwd(q, k, v, bias, kmaskf, tile_q, tile_k,
+                    bwd_tq, bwd_tk, interpret):
     out, lse = _fwd_partitioned(tile_q, tile_k, interpret)(
         q, k, v, bias, kmaskf)
     return out, (q, k, v, bias, kmaskf, out, lse)
 
 
-def _flash_core_bwd(tile_q, tile_k, interpret, res, g):
+def _flash_core_bwd(tile_q, tile_k, bwd_tq, bwd_tk, interpret, res, g):
     q, k, v, bias, kmaskf, out, lse = res
     do = g.astype(jnp.float32)
     # delta_i = sum_d dO_id * O_id  (rowwise) — cheap O(L dh) prologue
     delta = jnp.moveaxis(
         jnp.sum(do * out.astype(jnp.float32), axis=-1), 2, 1)   # (B, H, L)
-    ds, dk, dv = _bwd_partitioned(tile_q, tile_k, interpret)(
+    ds, dk, dv = _bwd_partitioned(bwd_tq, bwd_tk, interpret)(
         q, k, v, bias, kmaskf, g, lse, delta)
     scale = 1.0 / (q.shape[-1] ** 0.5)
     # dq = ds @ k: one batched MXU matmul reading ds once — XLA-optimal,
@@ -471,6 +484,7 @@ def pair_bias_attention_reference(q, k, v, bias, kmask):
 
 def flash_pair_bias_attention(q, k, v, bias, kmask, *,
                               tile_q: int = 512, tile_k: int = 2048,
+                              bwd_tiles: tuple | None = None,
                               interpret: bool | None = None):
     """Fused flash attention with additive pair bias and key masking.
 
@@ -478,11 +492,19 @@ def flash_pair_bias_attention(q, k, v, bias, kmask, *,
       q, k, v: ``(B, L, H, dh)`` float arrays (f32 or bf16).
       bias: ``(B, H, L, L)`` additive logit bias (pair projection).
       kmask: ``(B, L)`` bool — True where the key position is valid.
-      tile_q / tile_k: L-tile sizes; non-powers-of-two are rounded down so
-        the padded L stays <= 2x.  Defaults from the on-chip sweep
+      tile_q / tile_k: forward L-tile sizes; non-powers-of-two are rounded
+        down so the padded L stays <= 2x.  Defaults from the on-chip sweep
         (experiments/attn_sweep.py): large key tiles amortize the per-
-        grid-step overhead; 512x2048 is the fastest measured fwd+bwd
-        shape at L=4096 on v5e (2.9x the XLA fused jnp path; fwd 3.4x).
+        grid-step overhead; 512x2048 is the fastest measured forward
+        shape at L=4096 on v5e (5.8x the XLA fused jnp path).
+      bwd_tiles: optional ``(tile_q, tile_k)`` for the BACKWARD kernel.
+        Default: the forward tiles capped by :func:`_bwd_tiles` (query
+        tile halved to 256x2048 at the defaults) so the bwd's larger
+        scoped-VMEM live set fits Mosaic's 16M limit in fused/remat
+        contexts — measured 1.9x fwd+bwd at L=4096 vs 2.9x for an
+        explicit uncapped ``(512, 2048)``, which fits standalone but
+        overflowed (18.05M) inside a remat'd train step at dh=16.  Pass
+        explicitly to trade robustness for the last ~1.5x of bwd speed.
       interpret: run the Pallas interpreter (defaults to True off-TPU).
 
     Returns ``(B, L, H, dh)`` in the dtype of ``q``.  Differentiable wrt
@@ -493,8 +515,23 @@ def flash_pair_bias_attention(q, k, v, bias, kmask, *,
     """
     q, k, v, bias, kmaskf, tile_q, tile_k, L, interpret = _pad_and_tiles(
         q, k, v, bias, kmask, tile_q, tile_k, interpret)
-    out = _flash_core(q, k, v, bias, kmaskf, tile_q, tile_k, interpret)
+    bwd_tq, bwd_tk = _resolve_bwd_tiles(bwd_tiles, tile_q, tile_k)
+    out = _flash_core(q, k, v, bias, kmaskf, tile_q, tile_k,
+                      bwd_tq, bwd_tk, interpret)
     return out[:, :L]
+
+
+def _resolve_bwd_tiles(bwd_tiles, tile_q: int, tile_k: int) -> tuple:
+    """Explicit ``bwd_tiles`` clamped to powers of two that divide the
+    forward-padded Lp (any power of two <= max(fwd tiles) does); None
+    applies the :func:`_bwd_tiles` scoped-vmem cap."""
+    if bwd_tiles is None:
+        return _bwd_tiles(tile_q, tile_k)
+    cap = max(tile_q, tile_k)
+    pow2_floor = lambda x: 1 << (x.bit_length() - 1)
+    btq, btk = bwd_tiles
+    return (max(min(pow2_floor(btq), cap), 16),
+            max(min(pow2_floor(btk), cap), 128))
 
 
 def _pad_and_tiles(q, k, v, bias, kmask, tile_q, tile_k, interpret):
@@ -534,13 +571,15 @@ def _pad_and_tiles(q, k, v, bias, kmask, tile_q, tile_k, interpret):
 # lse-returning variant: the mergeable building block for ring attention
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _flash_core_lse(q, k, v, bias, kmaskf, tile_q, tile_k, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_core_lse(q, k, v, bias, kmaskf, tile_q, tile_k,
+                    bwd_tq, bwd_tk, interpret):
     out, lse = _fwd_public(q, k, v, bias, kmaskf, tile_q, tile_k, interpret)
     return out, jnp.where(lse >= _LSE_MASKED, -jnp.inf, lse)
 
 
-def _flash_core_lse_fwd(q, k, v, bias, kmaskf, tile_q, tile_k, interpret):
+def _flash_core_lse_fwd(q, k, v, bias, kmaskf, tile_q, tile_k,
+                        bwd_tq, bwd_tk, interpret):
     out, lse = _fwd_public(q, k, v, bias, kmaskf, tile_q, tile_k, interpret)
     # external convention: -inf on fully-masked rows (neutral in the
     # logaddexp merge ops/ring_attn.py does), vs the kernel's +1e30 pin
@@ -548,7 +587,7 @@ def _flash_core_lse_fwd(q, k, v, bias, kmaskf, tile_q, tile_k, interpret):
     return (out, ext), (q, k, v, bias, kmaskf, out, lse)
 
 
-def _flash_core_lse_bwd(tile_q, tile_k, interpret, res, g):
+def _flash_core_lse_bwd(tile_q, tile_k, bwd_tq, bwd_tk, interpret, res, g):
     q, k, v, bias, kmaskf, out, lse = res
     g_out, g_lse = g
     do = g_out.astype(jnp.float32)
@@ -562,7 +601,7 @@ def _flash_core_lse_bwd(tile_q, tile_k, interpret, res, g):
     g_lse = jnp.nan_to_num(g_lse.astype(jnp.float32),
                            nan=0.0, posinf=0.0, neginf=0.0)
     ds, dk, dv = _bwd_public(q, k, v, bias, kmaskf, g_out, lse,
-                             delta - g_lse, tile_q, tile_k, interpret)
+                             delta - g_lse, bwd_tq, bwd_tk, interpret)
     scale = 1.0 / (q.shape[-1] ** 0.5)
     dq = (jnp.einsum("bhqk,bkhd->bqhd", ds, k,
                      preferred_element_type=jnp.float32,
@@ -576,6 +615,7 @@ _flash_core_lse.defvjp(_flash_core_lse_fwd, _flash_core_lse_bwd)
 
 def flash_pair_bias_attention_lse(q, k, v, bias, kmask, *,
                                   tile_q: int = 512, tile_k: int = 2048,
+                                  bwd_tiles: tuple | None = None,
                                   interpret: bool | None = None):
     """Fused flash attention that also returns the per-row logsumexp.
 
@@ -593,6 +633,7 @@ def flash_pair_bias_attention_lse(q, k, v, bias, kmask, *,
     """
     q, k, v, bias, kmaskf, tile_q, tile_k, L, interpret = _pad_and_tiles(
         q, k, v, bias, kmask, tile_q, tile_k, interpret)
-    out, lse = _flash_core_lse(q, k, v, bias, kmaskf,
-                               tile_q, tile_k, interpret)
+    bwd_tq, bwd_tk = _resolve_bwd_tiles(bwd_tiles, tile_q, tile_k)
+    out, lse = _flash_core_lse(q, k, v, bias, kmaskf, tile_q, tile_k,
+                               bwd_tq, bwd_tk, interpret)
     return out[:, :L], lse[:, :, :L]

@@ -88,6 +88,33 @@ def test_tile_shapes(tile_q, tile_k):
                                rtol=0, atol=2e-5)
 
 
+def test_explicit_bwd_tiles_override():
+    """bwd_tiles= changes only the backward schedule, never the values."""
+    q, k, v, bias, kmask = _inputs(L=70)
+
+    def loss(q, k, v, bias, bwd_tiles):
+        o = flash_pair_bias_attention(q, k, v, bias, kmask,
+                                      bwd_tiles=bwd_tiles, interpret=True)
+        return jnp.sum(jnp.sin(o))
+
+    g_def = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias, None)
+    # explicit override (clamped to pow2 <= max fwd tile, floors 16/128)
+    g_ovr = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias, (48, 300))
+    for name, a, b in zip("qkvb", g_def, g_ovr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=5e-6,
+            err_msg=f"grad d{name}")
+
+
+def test_bwd_tile_cap_shrinks_query_tile_first():
+    from protstruc_tpu.ops.flash_attn import _bwd_tiles
+
+    assert _bwd_tiles(512, 2048) == (256, 2048)   # over cap: halve tq
+    assert _bwd_tiles(256, 2048) == (256, 2048)   # at cap: untouched
+    assert _bwd_tiles(512, 4096) == (256, 2048)   # tq first, then tk
+    assert _bwd_tiles(128, 1024) == (128, 1024)   # under cap: untouched
+
+
 def test_bfloat16_inputs():
     q, k, v, bias, kmask = _inputs(dtype=jnp.bfloat16, L=64)
     out = flash_pair_bias_attention(q, k, v, bias, kmask, interpret=True)
