@@ -883,6 +883,37 @@ def run_smoke(rtt):
             gerr = float(jnp.abs(gf - gr).max())
             assert gerr < 5e-4, f"flash bwd parity {gerr:.2e}"
 
+        # backward key strips (in-kernel fori_loop, ops/flash_attn.py):
+        # at smoke L the tiles clamp below the strip threshold, so force
+        # the strip path and pin it against the whole-block backward —
+        # identical schedule arithmetic, so the match is exact
+        import protstruc_tpu.ops.flash_attn as _fa
+
+        ks = jax.random.split(jax.random.PRNGKey(5), 4)
+        q = jax.random.normal(ks[0], (1, 520, 2, 16))
+        k = jax.random.normal(ks[1], (1, 520, 2, 16))
+        v = jax.random.normal(ks[2], (1, 520, 2, 16))
+        bias = jax.random.normal(ks[3], (1, 2, 520, 520))
+        kmask = jnp.ones((1, 520), bool).at[0, -9:].set(False)
+
+        def gradb(q, k, v, bias):
+            def loss(b):
+                o = _fa.flash_pair_bias_attention(
+                    q, k, v, b, kmask, tile_q=64, tile_k=512,
+                    bwd_tiles=(64, 512))
+                return jnp.sum(jnp.sin(o))
+            return jax.grad(loss)(bias)
+
+        g_whole = gradb(q, k, v, bias)      # 64*512 under the strip area
+        area0 = _fa._BWD_STRIP_AREA
+        try:
+            _fa._BWD_STRIP_AREA = 64 * 128  # -> sub_k=128, 4 strips
+            g_strip = gradb(q, k, v, bias)
+        finally:
+            _fa._BWD_STRIP_AREA = area0
+        serr = float(jnp.abs(g_strip - g_whole).max())
+        assert serr < 1e-6, f"bwd strip-vs-whole parity {serr:.2e}"
+
     @stage("ring-attn-parity")
     def _():
         # the ring construction on a 1-device mesh: sp=1 degenerates to a

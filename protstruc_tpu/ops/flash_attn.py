@@ -182,10 +182,20 @@ def _fwd_call(q, k, v, bias, kmask, tile_q, tile_k, interpret):
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, do_ref,
                 lse_ref, delta_ref,
-                ds_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, scale):
-    """Grid (BH, nk, nq), nq innermost (dk/dv accumulate across queries)."""
+                ds_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, scale, sub_k):
+    """Grid (BH, nk, nq), nq innermost (dk/dv accumulate across queries).
+
+    The (tile_q, tile_k) block is processed in (tile_q, sub_k) key STRIPS
+    inside a fori_loop: the four f32 score-sized temporaries (s, p, dp, ds)
+    then occupy tile_q*sub_k*16 bytes instead of tile_q*tile_k*16 — that is
+    what lets the full 512x2048 forward block schedule fit Mosaic's ~16M
+    scoped-vmem budget (the unsplit kernel allocated 18.05M at 512x2048,
+    dh=16).  The BLOCK — and hence the per-grid-step DMA amortization the
+    on-chip sweep showed matters — stays full-size; only the in-VMEM
+    compute is stripped."""
     iq = pl.program_id(2)
     nq = pl.num_programs(2)
+    tile_k = k_ref.shape[1]
 
     @pl.when(iq == 0)
     def _():
@@ -193,33 +203,44 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, do_ref,
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
     q = q_ref[0]                                         # (TQ, dh)
-    k = k_ref[0]                                         # (TK, dh)
-    v = v_ref[0]                                         # (TK, dh)
     do = do_ref[0]                                       # (TQ, dh)
-    allowed = kmask_ref[0] > 0.0                         # (1, TK)
+    lse = lse_ref[0]                                     # (TQ, 1)
+    delta = delta_ref[0]                                 # (TQ, 1)
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_prec(q.dtype),
-    ) * scale + bias_ref[0].astype(jnp.float32)
-    # lse is +1e30 on fully-masked rows -> p underflows to exactly 0 there
-    p = jnp.where(allowed, jnp.exp(s - lse_ref[0]), 0.0)  # (TQ, TK)
+    def strip(jk, carry):
+        sl = pl.ds(jk * sub_k, sub_k)
+        k = k_ref[0, sl, :]                              # (SK, dh)
+        v = v_ref[0, sl, :]                              # (SK, dh)
+        allowed = kmask_ref[0, :, sl] > 0.0              # (1, SK)
 
-    dv_acc[:] += jax.lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_prec(do.dtype))                         # (TK, dh)
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_prec(v.dtype))                          # (TQ, TK)
-    ds = p * (dp - delta_ref[0])                          # (TQ, TK)
-    ds_ref[0] = ds.astype(ds_ref.dtype)
-    dk_acc[:] += jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_prec(q.dtype)) * scale                  # (TK, dh)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_prec(q.dtype),
+        ) * scale + bias_ref[0, :, sl].astype(jnp.float32)
+        # lse is +1e30 on fully-masked rows -> p underflows to exactly 0
+        p = jnp.where(allowed, jnp.exp(s - lse), 0.0)     # (TQ, SK)
+
+        dv_acc[sl, :] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_prec(do.dtype))                    # (SK, dh)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_prec(v.dtype))                     # (TQ, SK)
+        ds = p * (dp - delta)                             # (TQ, SK)
+        ds_ref[0, :, sl] = ds.astype(ds_ref.dtype)
+        dk_acc[sl, :] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_prec(q.dtype)) * scale             # (SK, dh)
+        return carry
+
+    if sub_k == tile_k:
+        strip(0, None)
+    else:
+        jax.lax.fori_loop(0, tile_k // sub_k, strip, None)
 
     @pl.when(iq == nq - 1)
     def _():
@@ -227,17 +248,24 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, do_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
+# Strip area: bounds the four f32 (tile_q, sub_k) temporaries the bwd
+# kernel keeps live to 4 * area * 4 bytes (4 MiB at the 512x512 default) —
+# comfortably inside Mosaic's ~16M scoped-vmem budget with the pipelined
+# block buffers on top.
+_BWD_STRIP_AREA = 256 * 1024
+
+
 def _bwd_tiles(tile_q: int, tile_k: int) -> tuple:
-    """Backward tile cap: the bwd kernel keeps more (tile_q, tile_k) f32
-    planes live than the forward (s, p, dp, ds, plus the bias tile and the
-    dh-padded operand tiles), and at 512x2048 Mosaic's scoped-vmem
-    allocation overflows the 16M limit (observed 18.05M at dh=16, L=3072
-    padded to 4096).  Shrink the QUERY tile first: the on-chip sweep
-    (experiments/attn_sweep.py) showed the speedup comes from large KEY
-    tiles (per-grid-step overhead amortizes over the streamed keys), so
-    256x2048 beats 512x1024 at equal VMEM area.  Any power-of-two
-    reduction still divides the forward-padded Lp."""
-    while tile_q * tile_k > 512 * 1024:
+    """Backward BLOCK cap.  The f32 score-sized temporaries are bounded
+    separately by the in-kernel key strips (see :func:`_bwd_kernel`), so
+    the block area only drives the pipelined bias/ds buffers; 1M area
+    (= the 512x2048 forward default) keeps those <= 4 MiB per buffer per
+    direction even in f32.  Beyond that, shrink the QUERY tile first: the
+    on-chip sweep (experiments/attn_sweep.py) showed the speedup comes
+    from large KEY tiles (per-grid-step overhead amortizes over the
+    streamed keys).  Any power-of-two reduction still divides the
+    forward-padded Lp."""
+    while tile_q * tile_k > 1024 * 1024:
         if tile_q > 256:
             tile_q //= 2
         elif tile_k > 128:
@@ -259,7 +287,13 @@ def _bwd_call(q, k, v, bias, kmask, do, lse, delta, tile_q, tile_k, interpret):
     nq, nk = L // tile_q, L // tile_k
     scale = 1.0 / (dh ** 0.5)
 
-    kern = functools.partial(_bwd_kernel, scale=scale)
+    # key strip width: largest power of two <= tile_k keeping the f32
+    # temporaries under the scoped-vmem budget (128 floor = one lane tile)
+    sub_k = tile_k
+    while tile_q * sub_k > _BWD_STRIP_AREA and sub_k > 128:
+        sub_k //= 2
+
+    kern = functools.partial(_bwd_kernel, scale=scale, sub_k=sub_k)
     return pl.pallas_call(
         kern,
         name="flash_pair_bias_attn_bwd",
@@ -497,14 +531,16 @@ def flash_pair_bias_attention(q, k, v, bias, kmask, *,
         (experiments/attn_sweep.py): large key tiles amortize the per-
         grid-step overhead; 512x2048 is the fastest measured forward
         shape at L=4096 on v5e (5.8x the XLA fused jnp path).
-      bwd_tiles: optional ``(tile_q, tile_k)`` for the BACKWARD kernel.
-        Default: the forward tiles capped by :func:`_bwd_tiles` (query
-        tile halved to 256x2048 at the defaults) so the bwd's larger
-        scoped-VMEM live set fits Mosaic's 16M limit in fused/remat
-        contexts — measured 1.9x fwd+bwd at L=4096 vs 2.9x for an
-        explicit uncapped ``(512, 2048)``, which fits standalone but
-        overflowed (18.05M) inside a remat'd train step at dh=16.  Pass
-        explicitly to trade robustness for the last ~1.5x of bwd speed.
+      bwd_tiles: optional ``(tile_q, tile_k)`` BLOCK shape for the
+        BACKWARD kernel; default = the forward tiles capped by
+        :func:`_bwd_tiles`.  Inside the block the kernel computes in
+        (tile_q, sub_k) key strips so its f32 temporaries fit Mosaic's
+        16M scoped-vmem limit even in fused/remat contexts (the unsplit
+        512x2048 bwd allocated 18.05M and OOM'd inside a remat'd train
+        step at dh=16).  On-chip A/B at L=4096 bf16
+        (experiments/attn_strips_ab.py): strips sub_k=512 1.93x the jnp
+        path fwd+bwd — faster than both the unsplit 512x2048 (1.85x)
+        and a 256x2048 block cap (1.59x) in the same session.
       interpret: run the Pallas interpreter (defaults to True off-TPU).
 
     Returns ``(B, L, H, dh)`` in the dtype of ``q``.  Differentiable wrt

@@ -109,10 +109,35 @@ def test_explicit_bwd_tiles_override():
 def test_bwd_tile_cap_shrinks_query_tile_first():
     from protstruc_tpu.ops.flash_attn import _bwd_tiles
 
-    assert _bwd_tiles(512, 2048) == (256, 2048)   # over cap: halve tq
-    assert _bwd_tiles(256, 2048) == (256, 2048)   # at cap: untouched
-    assert _bwd_tiles(512, 4096) == (256, 2048)   # tq first, then tk
+    assert _bwd_tiles(512, 2048) == (512, 2048)   # fwd default: untouched
+    assert _bwd_tiles(512, 4096) == (256, 4096)   # over cap: halve tq first
+    assert _bwd_tiles(1024, 4096) == (256, 4096)  # tq to its 256 floor
+    assert _bwd_tiles(256, 8192) == (256, 4096)   # ... then the key tile
     assert _bwd_tiles(128, 1024) == (128, 1024)   # under cap: untouched
+
+
+def test_bwd_key_strips_match_unstripped(monkeypatch):
+    """Forcing the in-kernel key strips changes no gradient value."""
+    import protstruc_tpu.ops.flash_attn as fa
+
+    q, k, v, bias, kmask = _inputs(B=1, L=300, H=2, dh=16)
+    kmask = kmask.at[0, -7:].set(False)
+
+    def grads(q, k, v, bias):
+        def loss(q, k, v, bias):
+            o = fa.flash_pair_bias_attention(
+                q, k, v, bias, kmask, tile_q=64, tile_k=512,
+                bwd_tiles=(64, 512), interpret=True)
+            return jnp.sum(jnp.sin(o))
+        return jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+
+    g_whole = grads(q, k, v, bias)            # 64*512 <= default strip area
+    monkeypatch.setattr(fa, "_BWD_STRIP_AREA", 64 * 128)  # -> 4 strips
+    g_strip = grads(q, k, v, bias)
+    for name, a, b in zip("qkvb", g_whole, g_strip):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-6,
+            err_msg=f"grad d{name}")
 
 
 def test_bfloat16_inputs():
