@@ -905,12 +905,12 @@ def run_smoke(rtt):
             return jax.grad(loss)(bias)
 
         g_whole = gradb(q, k, v, bias)      # 64*512 under the strip area
-        area0 = _fa._BWD_STRIP_AREA
+        subk0 = _fa._BWD_SUB_K
         try:
-            _fa._BWD_STRIP_AREA = 64 * 128  # -> sub_k=128, 4 strips
+            _fa._BWD_SUB_K = 128  # -> 4 strips
             g_strip = gradb(q, k, v, bias)
         finally:
-            _fa._BWD_STRIP_AREA = area0
+            _fa._BWD_SUB_K = subk0
         serr = float(jnp.abs(g_strip - g_whole).max())
         assert serr < 1e-6, f"bwd strip-vs-whole parity {serr:.2e}"
 

@@ -32,8 +32,10 @@ def main():
     L = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     n1 = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n2 = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    B, H, dh = 1, 8, 32
-    log(f"backend: {jax.default_backend()}  L={L} bf16  inner n={n1}/{n2}")
+    dh = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    B, H = 1, 8
+    log(f"backend: {jax.default_backend()}  L={L} dh={dh} bf16  "
+        f"inner n={n1}/{n2}")
 
     ks = jax.random.split(jax.random.PRNGKey(7), 4)
     q = jax.random.normal(ks[0], (B, L, H, dh), jnp.bfloat16)
@@ -44,22 +46,24 @@ def main():
 
     import protstruc_tpu.ops.flash_attn as fa
 
-    def with_area(area):
+    def with_subk(sub_k, bwd_tiles=None):
         def attn(*a):
-            fa._BWD_STRIP_AREA = area
+            fa._BWD_SUB_K = sub_k
             try:
-                return fa.flash_pair_bias_attention(*a)
+                return fa.flash_pair_bias_attention(*a, bwd_tiles=bwd_tiles)
             finally:
-                fa._BWD_STRIP_AREA = 256 * 1024
+                fa._BWD_SUB_K = 512
         return attn
 
     variants = [
         ("jnp", pair_bias_attention_reference),
-        ("strips-512", with_area(256 * 1024)),     # sub_k=512, 4 strips
-        ("strips-1024", with_area(512 * 1024)),    # sub_k=1024, 2 strips
-        ("monolithic", with_area(1024 * 1024)),    # sub_k=2048 = tile_k
-        ("flash-capped", lambda *a: fa.flash_pair_bias_attention(
-            *a, bwd_tiles=(256, 2048))),
+        # block 512x2048 (the fwd default) at three strip widths
+        ("512blk/s256", with_subk(256, (512, 2048))),
+        ("512blk/s512", with_subk(512, (512, 2048))),
+        # block 256x2048 at two strip widths
+        ("256blk/s512", with_subk(512, (256, 2048))),
+        ("256blk/s1024", with_subk(1024, (256, 2048))),
+        ("256blk/whole", with_subk(2048, (256, 2048))),
     ]
     base = None
     for name, attn in variants:

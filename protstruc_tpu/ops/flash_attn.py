@@ -248,24 +248,30 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, do_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-# Strip area: bounds the four f32 (tile_q, sub_k) temporaries the bwd
-# kernel keeps live to 4 * area * 4 bytes (4 MiB at the 512x512 default) —
-# comfortably inside Mosaic's ~16M scoped-vmem budget with the pipelined
-# block buffers on top.
-_BWD_STRIP_AREA = 256 * 1024
+# Strip width: the bwd kernel's four f32 (tile_q, sub_k) temporaries then
+# occupy 4 * tile_q * 512 * 4 bytes (4 MiB at tile_q=512) — small next to
+# the pipelined block buffers.  512 measured fastest at BOTH block shapes
+# in the on-chip matrix (experiments/attn_strips_ab.py).
+_BWD_SUB_K = 512
 
 
-def _bwd_tiles(tile_q: int, tile_k: int) -> tuple:
+def _bwd_tiles(tile_q: int, tile_k: int, small: bool = False) -> tuple:
     """Backward BLOCK cap.  The f32 score-sized temporaries are bounded
     separately by the in-kernel key strips (see :func:`_bwd_kernel`), so
-    the block area only drives the pipelined bias/ds buffers; 1M area
-    (= the 512x2048 forward default) keeps those <= 4 MiB per buffer per
-    direction even in f32.  Beyond that, shrink the QUERY tile first: the
-    on-chip sweep (experiments/attn_sweep.py) showed the speedup comes
-    from large KEY tiles (per-grid-step overhead amortizes over the
-    streamed keys).  Any power-of-two reduction still divides the
-    forward-padded Lp."""
-    while tile_q * tile_k > 1024 * 1024:
+    the block area drives the pipelined bias/ds buffers and the dh-padded
+    operand/accumulator buffers.  ``small=False`` (bf16 bias, dh >= 32)
+    allows the full 1M area (= the 512x2048 forward default); ``small``
+    (f32 bias doubles the L^2 buffer bytes; dh < 32 pads every (*, dh)
+    buffer 8x to the 128-lane tile) halves it to 512K.  Both caps are
+    from the measured on-chip matrix at L=4096
+    (experiments/attn_strips_ab.py): at dh=16 the 256x2048 block is both
+    the only train-context fit (512x2048 hit 17.07M scoped vmem) AND the
+    fastest (1.94x vs 1.61x); at dh=32 the 512x2048 block wins (1.69x vs
+    1.32x).  Beyond the cap, shrink the QUERY tile first — large KEY
+    tiles amortize the per-grid-step overhead.  Any power-of-two
+    reduction still divides the forward-padded Lp."""
+    cap = 512 * 1024 if small else 1024 * 1024
+    while tile_q * tile_k > cap:
         if tile_q > 256:
             tile_q //= 2
         elif tile_k > 128:
@@ -287,11 +293,7 @@ def _bwd_call(q, k, v, bias, kmask, do, lse, delta, tile_q, tile_k, interpret):
     nq, nk = L // tile_q, L // tile_k
     scale = 1.0 / (dh ** 0.5)
 
-    # key strip width: largest power of two <= tile_k keeping the f32
-    # temporaries under the scoped-vmem budget (128 floor = one lane tile)
-    sub_k = tile_k
-    while tile_q * sub_k > _BWD_STRIP_AREA and sub_k > 128:
-        sub_k //= 2
+    sub_k = min(tile_k, _BWD_SUB_K)
 
     kern = functools.partial(_bwd_kernel, scale=scale, sub_k=sub_k)
     return pl.pallas_call(
@@ -533,14 +535,15 @@ def flash_pair_bias_attention(q, k, v, bias, kmask, *,
         shape at L=4096 on v5e (5.8x the XLA fused jnp path).
       bwd_tiles: optional ``(tile_q, tile_k)`` BLOCK shape for the
         BACKWARD kernel; default = the forward tiles capped by
-        :func:`_bwd_tiles`.  Inside the block the kernel computes in
-        (tile_q, sub_k) key strips so its f32 temporaries fit Mosaic's
-        16M scoped-vmem limit even in fused/remat contexts (the unsplit
-        512x2048 bwd allocated 18.05M and OOM'd inside a remat'd train
-        step at dh=16).  On-chip A/B at L=4096 bf16
-        (experiments/attn_strips_ab.py): strips sub_k=512 1.93x the jnp
-        path fwd+bwd — faster than both the unsplit 512x2048 (1.85x)
-        and a 256x2048 block cap (1.59x) in the same session.
+        :func:`_bwd_tiles` — 512x2048 for bf16 bias at dh >= 32,
+        256x2048 otherwise (f32 bias doubles the pipelined L^2 buffer
+        bytes; dh < 32 pads every (*, dh) buffer to 128 lanes — both
+        exhaust Mosaic's ~16M scoped-vmem budget at the full block).
+        Inside the block the kernel computes in (tile_q, 512) key strips
+        (:data:`_BWD_SUB_K`) to bound its f32 temporaries.  Each default
+        is the measured winner in the on-chip matrix at L=4096 bf16
+        (experiments/attn_strips_ab.py): dh=32 512-block 1.69x vs
+        256-block 1.32x; dh=16 256-block 1.94x vs 512-block 1.61x.
       interpret: run the Pallas interpreter (defaults to True off-TPU).
 
     Returns ``(B, L, H, dh)`` in the dtype of ``q``.  Differentiable wrt
@@ -549,20 +552,23 @@ def flash_pair_bias_attention(q, k, v, bias, kmask, *,
     op shards over batch/head axes (custom_partitioning); residue axes are
     replicated per shard.
     """
+    small = jnp.dtype(bias.dtype).itemsize >= 4 or q.shape[-1] < 32
     q, k, v, bias, kmaskf, tile_q, tile_k, L, interpret = _pad_and_tiles(
         q, k, v, bias, kmask, tile_q, tile_k, interpret)
-    bwd_tq, bwd_tk = _resolve_bwd_tiles(bwd_tiles, tile_q, tile_k)
+    bwd_tq, bwd_tk = _resolve_bwd_tiles(bwd_tiles, tile_q, tile_k, small)
     out = _flash_core(q, k, v, bias, kmaskf, tile_q, tile_k,
                       bwd_tq, bwd_tk, interpret)
     return out[:, :L]
 
 
-def _resolve_bwd_tiles(bwd_tiles, tile_q: int, tile_k: int) -> tuple:
+def _resolve_bwd_tiles(bwd_tiles, tile_q: int, tile_k: int,
+                       small: bool) -> tuple:
     """Explicit ``bwd_tiles`` clamped to powers of two that divide the
     forward-padded Lp (any power of two <= max(fwd tiles) does); None
-    applies the :func:`_bwd_tiles` scoped-vmem cap."""
+    applies the :func:`_bwd_tiles` scoped-vmem cap (``small`` = f32 bias
+    or dh < 32, which halves the block-area budget)."""
     if bwd_tiles is None:
-        return _bwd_tiles(tile_q, tile_k)
+        return _bwd_tiles(tile_q, tile_k, small)
     cap = max(tile_q, tile_k)
     pow2_floor = lambda x: 1 << (x.bit_length() - 1)
     btq, btk = bwd_tiles
@@ -667,9 +673,10 @@ def flash_pair_bias_attention_lse(q, k, v, bias, kmask, *,
     GSPMD-partitioned — it is meant to run on local shards inside
     ``shard_map``, where every operand is already device-local.
     """
+    small = jnp.dtype(bias.dtype).itemsize >= 4 or q.shape[-1] < 32
     q, k, v, bias, kmaskf, tile_q, tile_k, L, interpret = _pad_and_tiles(
         q, k, v, bias, kmask, tile_q, tile_k, interpret)
-    bwd_tq, bwd_tk = _resolve_bwd_tiles(bwd_tiles, tile_q, tile_k)
+    bwd_tq, bwd_tk = _resolve_bwd_tiles(bwd_tiles, tile_q, tile_k, small)
     out, lse = _flash_core_lse(q, k, v, bias, kmaskf, tile_q, tile_k,
                                bwd_tq, bwd_tk, interpret)
     return out[:, :L], lse[:, :, :L]

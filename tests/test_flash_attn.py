@@ -131,8 +131,8 @@ def test_bwd_key_strips_match_unstripped(monkeypatch):
             return jnp.sum(jnp.sin(o))
         return jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
 
-    g_whole = grads(q, k, v, bias)            # 64*512 <= default strip area
-    monkeypatch.setattr(fa, "_BWD_STRIP_AREA", 64 * 128)  # -> 4 strips
+    g_whole = grads(q, k, v, bias)            # 512 = one whole strip
+    monkeypatch.setattr(fa, "_BWD_SUB_K", 128)  # -> 4 strips
     g_strip = grads(q, k, v, bias)
     for name, a, b in zip("qkvb", g_whole, g_strip):
         np.testing.assert_allclose(
