@@ -884,10 +884,12 @@ def run_smoke(rtt):
             assert gerr < 5e-4, f"flash bwd parity {gerr:.2e}"
 
         # backward key strips (in-kernel fori_loop, ops/flash_attn.py):
-        # at smoke L the tiles clamp below the strip threshold, so force
-        # the strip path and pin it against the whole-block backward —
-        # identical schedule arithmetic, so the match is exact
-        import protstruc_tpu.ops.flash_attn as _fa
+        # at smoke L the default tiles clamp to a single strip, so force
+        # narrow strips via the bwd_tiles 3-tuple and pin them against
+        # the whole-block backward — identical schedule arithmetic, so
+        # the match is exact
+        from protstruc_tpu.ops.flash_attn import (
+            flash_pair_bias_attention as _flash)
 
         ks = jax.random.split(jax.random.PRNGKey(5), 4)
         q = jax.random.normal(ks[0], (1, 520, 2, 16))
@@ -896,21 +898,15 @@ def run_smoke(rtt):
         bias = jax.random.normal(ks[3], (1, 2, 520, 520))
         kmask = jnp.ones((1, 520), bool).at[0, -9:].set(False)
 
-        def gradb(q, k, v, bias):
+        def gradb(sub_k):
             def loss(b):
-                o = _fa.flash_pair_bias_attention(
-                    q, k, v, b, kmask, tile_q=64, tile_k=512,
-                    bwd_tiles=(64, 512))
+                o = _flash(q, k, v, b, kmask, tile_q=64, tile_k=512,
+                           bwd_tiles=(64, 512, sub_k))
                 return jnp.sum(jnp.sin(o))
             return jax.grad(loss)(bias)
 
-        g_whole = gradb(q, k, v, bias)      # 64*512 under the strip area
-        subk0 = _fa._BWD_SUB_K
-        try:
-            _fa._BWD_SUB_K = 128  # -> 4 strips
-            g_strip = gradb(q, k, v, bias)
-        finally:
-            _fa._BWD_SUB_K = subk0
+        g_whole = gradb(512)   # one whole strip
+        g_strip = gradb(128)   # 4 strips
         serr = float(jnp.abs(g_strip - g_whole).max())
         assert serr < 1e-6, f"bwd strip-vs-whole parity {serr:.2e}"
 

@@ -1,15 +1,21 @@
-"""On-chip A/B for the bwd key-strip kernel (ops/flash_attn.py).
+"""On-chip A/B for the flash backward schedule (ops/flash_attn.py).
 
-Compares, at the bench [attn] pinned config (B=1 H=8 dh=32 L=4096 bf16,
-fwd+bwd through a scalar loss):
+Axes, at the bench [attn]-style config (B=1 H=8 L=4096 bf16, fwd+bwd
+through a scalar loss; dh from argv):
 
-  jnp            XLA's fused reference path
-  flash-strips   new default: bwd block 512x2048, in-kernel sub_k=512 strips
-  flash-capped   the r4 interim cap: bwd block 256x2048 (no strips needed)
+  block shape   backward (tile_q, tile_k) — pipelined buffer footprint
+  strip width   in-kernel sub_k — the f32 temporaries bound
+
+Both are passed through ``bwd_tiles=(tq, tk, sub_k)``, i.e. real traced
+arguments — an earlier version of this script toggled a module global
+around the forward call and silently never varied the strip width (the
+custom_vjp backward traces after the forward returns).
 
 Timing: chained fori_loop differencing (see experiments/attn_sweep.py).
+Session-noise calibration: identical-kernel repeats in earlier runs
+spread ~15%, so only same-session gaps well beyond that are real.
 
-    python experiments/attn_strips_ab.py [L] [n1 n2]
+    python experiments/attn_strips_ab.py [L] [n1 n2] [dh]
 """
 
 import os
@@ -44,26 +50,19 @@ def main():
     bias = jax.random.normal(ks[3], (B, H, L, L), jnp.bfloat16)
     kmask = jnp.ones((B, L), bool).at[:, -100:].set(False)
 
-    import protstruc_tpu.ops.flash_attn as fa
-
-    def with_subk(sub_k, bwd_tiles=None):
-        def attn(*a):
-            fa._BWD_SUB_K = sub_k
-            try:
-                return fa.flash_pair_bias_attention(*a, bwd_tiles=bwd_tiles)
-            finally:
-                fa._BWD_SUB_K = 512
-        return attn
+    def flash(bwd_tiles):
+        return lambda *a: flash_pair_bias_attention(*a, bwd_tiles=bwd_tiles)
 
     variants = [
         ("jnp", pair_bias_attention_reference),
-        # block 512x2048 (the fwd default) at three strip widths
-        ("512blk/s256", with_subk(256, (512, 2048))),
-        ("512blk/s512", with_subk(512, (512, 2048))),
-        # block 256x2048 at two strip widths
-        ("256blk/s512", with_subk(512, (256, 2048))),
-        ("256blk/s1024", with_subk(1024, (256, 2048))),
-        ("256blk/whole", with_subk(2048, (256, 2048))),
+        # block 512x2048 (the fwd default) across strip widths
+        ("512blk/s256", flash((512, 2048, 256))),
+        ("512blk/s512", flash((512, 2048, 512))),
+        ("512blk/whole", flash((512, 2048, 2048))),
+        # block 256x2048 across strip widths
+        ("256blk/s512", flash((256, 2048, 512))),
+        ("256blk/s1024", flash((256, 2048, 1024))),
+        ("256blk/whole", flash((256, 2048, 2048))),
     ]
     base = None
     for name, attn in variants:

@@ -187,12 +187,14 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, do_ref,
 
     The (tile_q, tile_k) block is processed in (tile_q, sub_k) key STRIPS
     inside a fori_loop: the four f32 score-sized temporaries (s, p, dp, ds)
-    then occupy tile_q*sub_k*16 bytes instead of tile_q*tile_k*16 — that is
-    what lets the full 512x2048 forward block schedule fit Mosaic's ~16M
-    scoped-vmem budget (the unsplit kernel allocated 18.05M at 512x2048,
-    dh=16).  The BLOCK — and hence the per-grid-step DMA amortization the
-    on-chip sweep showed matters — stays full-size; only the in-VMEM
-    compute is stripped."""
+    then occupy tile_q*sub_k*16 bytes instead of tile_q*tile_k*16.  Note
+    the measured scoped-vmem saving is modest (18.05M unsplit vs 17.07M
+    stripped at 512x2048/dh=16 — the pipelined BLOCK buffers dominate the
+    budget), so the strip is a temporaries bound, not the fit lever: the
+    dtype/dh-aware block cap in :func:`_bwd_tiles` is what keeps the
+    kernel inside Mosaic's ~16M limit.  The BLOCK — and hence the
+    per-grid-step DMA amortization the on-chip sweep showed matters —
+    stays full-size; only the in-VMEM compute is stripped."""
     iq = pl.program_id(2)
     nq = pl.num_programs(2)
     tile_k = k_ref.shape[1]
@@ -248,28 +250,35 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, do_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-# Strip width: the bwd kernel's four f32 (tile_q, sub_k) temporaries then
-# occupy 4 * tile_q * 512 * 4 bytes (4 MiB at tile_q=512) — small next to
-# the pipelined block buffers.  512 measured fastest at BOTH block shapes
-# in the on-chip matrix (experiments/attn_strips_ab.py).
+# Default strip width: bounds the bwd kernel's four f32 (tile_q, sub_k)
+# temporaries to 4 * tile_q * 512 * 4 bytes (4 MiB at tile_q=512).  On-chip,
+# strip-width variations at a fixed block shape measured within session
+# noise (experiments/attn_strips_ab.py) — the strip exists as a scoped-vmem
+# bound, not a tuning axis; the BLOCK shape (below) is what moves timing.
 _BWD_SUB_K = 512
+
+
+def _pow2_floor(x: int) -> int:
+    return 1 << (x.bit_length() - 1)
 
 
 def _bwd_tiles(tile_q: int, tile_k: int, small: bool = False) -> tuple:
     """Backward BLOCK cap.  The f32 score-sized temporaries are bounded
     separately by the in-kernel key strips (see :func:`_bwd_kernel`), so
     the block area drives the pipelined bias/ds buffers and the dh-padded
-    operand/accumulator buffers.  ``small=False`` (bf16 bias, dh >= 32)
-    allows the full 1M area (= the 512x2048 forward default); ``small``
-    (f32 bias doubles the L^2 buffer bytes; dh < 32 pads every (*, dh)
-    buffer 8x to the 128-lane tile) halves it to 512K.  Both caps are
-    from the measured on-chip matrix at L=4096
-    (experiments/attn_strips_ab.py): at dh=16 the 256x2048 block is both
-    the only train-context fit (512x2048 hit 17.07M scoped vmem) AND the
-    fastest (1.94x vs 1.61x); at dh=32 the 512x2048 block wins (1.69x vs
-    1.32x).  Beyond the cap, shrink the QUERY tile first — large KEY
-    tiles amortize the per-grid-step overhead.  Any power-of-two
-    reduction still divides the forward-padded Lp."""
+    operand/accumulator buffers.  ``small=False`` (16-bit q and bias,
+    dh >= 32) allows the full 1M area (= the 512x2048 forward default);
+    ``small`` (f32 bias doubles the L^2 buffer bytes, f32 q/k/v doubles
+    the operand/accumulator buffers, dh < 32 pads every (*, dh) buffer
+    8x to the 128-lane tile) halves it to 512K.  The caps are sized for
+    compile-time FIT: at dh=16 the 512x2048 block allocated 17.07-18.05M
+    scoped vmem vs Mosaic's 16.00M limit inside a remat'd train step,
+    and the 256x2048 block restored it; on-chip timing differences
+    between fitting schedules are inside process noise
+    (experiments/attn_strips_ab.py; docs/guides/performance.md).  Beyond
+    the cap, shrink the QUERY tile first — large KEY tiles amortize the
+    per-grid-step overhead.  Any power-of-two reduction still divides
+    the forward-padded Lp."""
     cap = 512 * 1024 if small else 1024 * 1024
     while tile_q * tile_k > cap:
         if tile_q > 256:
@@ -281,21 +290,21 @@ def _bwd_tiles(tile_q: int, tile_k: int, small: bool = False) -> tuple:
     return tile_q, tile_k
 
 
-def _bwd_call(q, k, v, bias, kmask, do, lse, delta, tile_q, tile_k, interpret):
+def _bwd_call(q, k, v, bias, kmask, do, lse, delta,
+              tile_q, tile_k, sub_k, interpret):
     """Returns (ds (BH, L, L) in bias dtype, dk/dv (BH, L, dh) in q dtype).
 
-    Tiles arrive already resolved — the public entry points apply the
-    :func:`_bwd_tiles` scoped-vmem cap (or the caller's explicit
-    ``bwd_tiles`` override) before the core is traced."""
+    Tiles and the strip width arrive already resolved — the public entry
+    points apply the :func:`_bwd_tiles` scoped-vmem cap (or the caller's
+    explicit ``bwd_tiles`` override) before the core is traced."""
     BH, L, dh = q.shape
     B = kmask.shape[0]
     H = BH // B
     nq, nk = L // tile_q, L // tile_k
     scale = 1.0 / (dh ** 0.5)
 
-    sub_k = min(tile_k, _BWD_SUB_K)
-
-    kern = functools.partial(_bwd_kernel, scale=scale, sub_k=sub_k)
+    kern = functools.partial(_bwd_kernel, scale=scale,
+                             sub_k=min(tile_k, sub_k))
     return pl.pallas_call(
         kern,
         name="flash_pair_bias_attn_bwd",
@@ -381,7 +390,7 @@ def _fwd_public(q, k, v, bias, kmaskf, tile_q, tile_k, interpret):
 
 
 def _bwd_public(q, k, v, bias, kmaskf, do, lse, delta,
-                tile_q, tile_k, interpret):
+                tile_q, tile_k, sub_k, interpret):
     """(B, L, H, dh)-layout backward; also the per-shard GSPMD lowering.
 
     Returns (ds (B, H, L, L) in bias dtype, dk / dv (B, L, H, dh))."""
@@ -394,7 +403,7 @@ def _bwd_public(q, k, v, bias, kmaskf, do, lse, delta,
         flat(q), flat(k), flat(v), bias.reshape(B * H, L, L),
         kmaskf[:, None, :], flat(do),
         lse.reshape(B * H, L, 1), delta.reshape(B * H, L, 1),
-        tile_q, tile_k, interpret)
+        tile_q, tile_k, sub_k, interpret)
     unflat = lambda x: jnp.moveaxis(x.reshape(B, H, L, dh), 1, 2)
     return ds.reshape(B, H, L, L), unflat(dk), unflat(dv)
 
@@ -429,10 +438,10 @@ def _fwd_partitioned(tile_q, tile_k, interpret):
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_partitioned(tile_q, tile_k, interpret):
+def _bwd_partitioned(tile_q, tile_k, sub_k, interpret):
     def impl(q, k, v, bias, kmaskf, do, lse, delta):
         return _bwd_public(q, k, v, bias, kmaskf, do, lse, delta,
-                           tile_q, tile_k, interpret)
+                           tile_q, tile_k, sub_k, interpret)
 
     fn = custom_partitioning(impl)
 
@@ -465,28 +474,29 @@ def _bwd_partitioned(tile_q, tile_k, interpret):
 # public differentiable entry point
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _flash_core(q, k, v, bias, kmaskf, tile_q, tile_k,
-                bwd_tq, bwd_tk, interpret):
+                bwd_tq, bwd_tk, bwd_sk, interpret):
     out, _ = _fwd_partitioned(tile_q, tile_k, interpret)(
         q, k, v, bias, kmaskf)
     return out
 
 
 def _flash_core_fwd(q, k, v, bias, kmaskf, tile_q, tile_k,
-                    bwd_tq, bwd_tk, interpret):
+                    bwd_tq, bwd_tk, bwd_sk, interpret):
     out, lse = _fwd_partitioned(tile_q, tile_k, interpret)(
         q, k, v, bias, kmaskf)
     return out, (q, k, v, bias, kmaskf, out, lse)
 
 
-def _flash_core_bwd(tile_q, tile_k, bwd_tq, bwd_tk, interpret, res, g):
+def _flash_core_bwd(tile_q, tile_k, bwd_tq, bwd_tk, bwd_sk, interpret,
+                    res, g):
     q, k, v, bias, kmaskf, out, lse = res
     do = g.astype(jnp.float32)
     # delta_i = sum_d dO_id * O_id  (rowwise) — cheap O(L dh) prologue
     delta = jnp.moveaxis(
         jnp.sum(do * out.astype(jnp.float32), axis=-1), 2, 1)   # (B, H, L)
-    ds, dk, dv = _bwd_partitioned(bwd_tq, bwd_tk, interpret)(
+    ds, dk, dv = _bwd_partitioned(bwd_tq, bwd_tk, bwd_sk, interpret)(
         q, k, v, bias, kmaskf, g, lse, delta)
     scale = 1.0 / (q.shape[-1] ** 0.5)
     # dq = ds @ k: one batched MXU matmul reading ds once — XLA-optimal,
@@ -533,17 +543,19 @@ def flash_pair_bias_attention(q, k, v, bias, kmask, *,
         (experiments/attn_sweep.py): large key tiles amortize the per-
         grid-step overhead; 512x2048 is the fastest measured forward
         shape at L=4096 on v5e (5.8x the XLA fused jnp path).
-      bwd_tiles: optional ``(tile_q, tile_k)`` BLOCK shape for the
-        BACKWARD kernel; default = the forward tiles capped by
-        :func:`_bwd_tiles` — 512x2048 for bf16 bias at dh >= 32,
-        256x2048 otherwise (f32 bias doubles the pipelined L^2 buffer
-        bytes; dh < 32 pads every (*, dh) buffer to 128 lanes — both
-        exhaust Mosaic's ~16M scoped-vmem budget at the full block).
-        Inside the block the kernel computes in (tile_q, 512) key strips
-        (:data:`_BWD_SUB_K`) to bound its f32 temporaries.  Each default
-        is the measured winner in the on-chip matrix at L=4096 bf16
-        (experiments/attn_strips_ab.py): dh=32 512-block 1.69x vs
-        256-block 1.32x; dh=16 256-block 1.94x vs 512-block 1.61x.
+      bwd_tiles: optional ``(tile_q, tile_k)`` or ``(tile_q, tile_k,
+        sub_k)`` schedule for the BACKWARD kernel; default = the forward
+        tiles capped by :func:`_bwd_tiles` — 512x2048 for 16-bit inputs
+        at dh >= 32, 256x2048 otherwise (f32 doubles the pipelined
+        buffer bytes; dh < 32 pads every (*, dh) buffer to 128 lanes —
+        both exhaust Mosaic's ~16M scoped-vmem budget at the full
+        block: measured 17.07-18.05M vs the 16.00M limit at dh=16).
+        Inside the block the kernel computes in (tile_q, sub_k = 512)
+        key strips to bound its f32 temporaries.  The caps are for
+        compile-time FIT; on-chip, every schedule in the measured matrix
+        lands at 1.6-1.9x the jnp path fwd+bwd at L=4096 bf16, with
+        schedule-to-schedule differences inside the 15-25% process noise
+        (experiments/attn_strips_ab.py).
       interpret: run the Pallas interpreter (defaults to True off-TPU).
 
     Returns ``(B, L, H, dh)`` in the dtype of ``q``.  Differentiable wrt
@@ -552,28 +564,40 @@ def flash_pair_bias_attention(q, k, v, bias, kmask, *,
     op shards over batch/head axes (custom_partitioning); residue axes are
     replicated per shard.
     """
-    small = jnp.dtype(bias.dtype).itemsize >= 4 or q.shape[-1] < 32
     q, k, v, bias, kmaskf, tile_q, tile_k, L, interpret = _pad_and_tiles(
         q, k, v, bias, kmask, tile_q, tile_k, interpret)
-    bwd_tq, bwd_tk = _resolve_bwd_tiles(bwd_tiles, tile_q, tile_k, small)
+    bwd_tq, bwd_tk, bwd_sk = _resolve_bwd_tiles(
+        bwd_tiles, tile_q, tile_k, q, bias)
     out = _flash_core(q, k, v, bias, kmaskf, tile_q, tile_k,
-                      bwd_tq, bwd_tk, interpret)
+                      bwd_tq, bwd_tk, bwd_sk, interpret)
     return out[:, :L]
 
 
 def _resolve_bwd_tiles(bwd_tiles, tile_q: int, tile_k: int,
-                       small: bool) -> tuple:
-    """Explicit ``bwd_tiles`` clamped to powers of two that divide the
-    forward-padded Lp (any power of two <= max(fwd tiles) does); None
-    applies the :func:`_bwd_tiles` scoped-vmem cap (``small`` = f32 bias
-    or dh < 32, which halves the block-area budget)."""
+                       q, bias) -> tuple:
+    """Resolve the backward schedule: ``(block_tq, block_tk, sub_k)``.
+
+    ``bwd_tiles=None`` applies the :func:`_bwd_tiles` scoped-vmem block
+    cap (halved when any operand is 32-bit or dh < 32) with the default
+    :data:`_BWD_SUB_K` strip.  An explicit ``(tq, tk)`` or
+    ``(tq, tk, sub_k)`` is clamped to powers of two that divide the
+    forward-padded Lp (any power of two <= max(fwd tiles) does)."""
     if bwd_tiles is None:
-        return _bwd_tiles(tile_q, tile_k, small)
+        small = (jnp.dtype(bias.dtype).itemsize >= 4
+                 or jnp.dtype(q.dtype).itemsize >= 4
+                 or q.shape[-1] < 32)
+        return _bwd_tiles(tile_q, tile_k, small) + (_BWD_SUB_K,)
+    if len(bwd_tiles) not in (2, 3) or any(
+            not isinstance(t, int) or t <= 0 for t in bwd_tiles):
+        raise ValueError(
+            f"bwd_tiles must be 2-3 positive ints (tile_q, tile_k[, "
+            f"sub_k]), got {bwd_tiles!r}")
     cap = max(tile_q, tile_k)
-    pow2_floor = lambda x: 1 << (x.bit_length() - 1)
-    btq, btk = bwd_tiles
-    return (max(min(pow2_floor(btq), cap), 16),
-            max(min(pow2_floor(btk), cap), 128))
+    btq, btk = bwd_tiles[:2]
+    bsk = bwd_tiles[2] if len(bwd_tiles) == 3 else _BWD_SUB_K
+    btk = max(min(_pow2_floor(btk), cap), 128)
+    return (max(min(_pow2_floor(btq), cap), 16), btk,
+            max(min(_pow2_floor(bsk), btk), 128))
 
 
 def _pad_and_tiles(q, k, v, bias, kmask, tile_q, tile_k, interpret):
@@ -591,7 +615,7 @@ def _pad_and_tiles(q, k, v, bias, kmask, tile_q, tile_k, interpret):
     # Clamp tiles to powers of two <= the padded L so the smaller always
     # divides the larger: Lp = ceil(L, max tile) keeps padding under 2x
     # (an lcm of ragged tiles can blow padding up 10x+).
-    pow2_floor = lambda x: 1 << (x.bit_length() - 1)
+    pow2_floor = _pow2_floor
     pow2_ceil = lambda x: 1 << ((x - 1).bit_length())
     # floor 16: bf16 sublane tiling is (16, 128) on TPU; 16 also satisfies
     # f32.  The floors bind explicitly-passed tiny tiles too, not just the
@@ -613,15 +637,15 @@ def _pad_and_tiles(q, k, v, bias, kmask, tile_q, tile_k, interpret):
 # lse-returning variant: the mergeable building block for ring attention
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _flash_core_lse(q, k, v, bias, kmaskf, tile_q, tile_k,
-                    bwd_tq, bwd_tk, interpret):
+                    bwd_tq, bwd_tk, bwd_sk, interpret):
     out, lse = _fwd_public(q, k, v, bias, kmaskf, tile_q, tile_k, interpret)
     return out, jnp.where(lse >= _LSE_MASKED, -jnp.inf, lse)
 
 
 def _flash_core_lse_fwd(q, k, v, bias, kmaskf, tile_q, tile_k,
-                        bwd_tq, bwd_tk, interpret):
+                        bwd_tq, bwd_tk, bwd_sk, interpret):
     out, lse = _fwd_public(q, k, v, bias, kmaskf, tile_q, tile_k, interpret)
     # external convention: -inf on fully-masked rows (neutral in the
     # logaddexp merge ops/ring_attn.py does), vs the kernel's +1e30 pin
@@ -629,7 +653,8 @@ def _flash_core_lse_fwd(q, k, v, bias, kmaskf, tile_q, tile_k,
     return (out, ext), (q, k, v, bias, kmaskf, out, lse)
 
 
-def _flash_core_lse_bwd(tile_q, tile_k, bwd_tq, bwd_tk, interpret, res, g):
+def _flash_core_lse_bwd(tile_q, tile_k, bwd_tq, bwd_tk, bwd_sk, interpret,
+                        res, g):
     q, k, v, bias, kmaskf, out, lse = res
     g_out, g_lse = g
     do = g_out.astype(jnp.float32)
@@ -643,7 +668,8 @@ def _flash_core_lse_bwd(tile_q, tile_k, bwd_tq, bwd_tk, interpret, res, g):
     g_lse = jnp.nan_to_num(g_lse.astype(jnp.float32),
                            nan=0.0, posinf=0.0, neginf=0.0)
     ds, dk, dv = _bwd_public(q, k, v, bias, kmaskf, g_out, lse,
-                             delta - g_lse, bwd_tq, bwd_tk, interpret)
+                             delta - g_lse, bwd_tq, bwd_tk, bwd_sk,
+                             interpret)
     scale = 1.0 / (q.shape[-1] ** 0.5)
     dq = (jnp.einsum("bhqk,bkhd->bqhd", ds, k,
                      preferred_element_type=jnp.float32,
@@ -673,10 +699,10 @@ def flash_pair_bias_attention_lse(q, k, v, bias, kmask, *,
     GSPMD-partitioned — it is meant to run on local shards inside
     ``shard_map``, where every operand is already device-local.
     """
-    small = jnp.dtype(bias.dtype).itemsize >= 4 or q.shape[-1] < 32
     q, k, v, bias, kmaskf, tile_q, tile_k, L, interpret = _pad_and_tiles(
         q, k, v, bias, kmask, tile_q, tile_k, interpret)
-    bwd_tq, bwd_tk = _resolve_bwd_tiles(bwd_tiles, tile_q, tile_k, small)
+    bwd_tq, bwd_tk, bwd_sk = _resolve_bwd_tiles(
+        bwd_tiles, tile_q, tile_k, q, bias)
     out, lse = _flash_core_lse(q, k, v, bias, kmaskf, tile_q, tile_k,
-                               bwd_tq, bwd_tk, interpret)
+                               bwd_tq, bwd_tk, bwd_sk, interpret)
     return out[:, :L], lse[:, :, :L]

@@ -116,28 +116,33 @@ def test_bwd_tile_cap_shrinks_query_tile_first():
     assert _bwd_tiles(128, 1024) == (128, 1024)   # under cap: untouched
 
 
-def test_bwd_key_strips_match_unstripped(monkeypatch):
-    """Forcing the in-kernel key strips changes no gradient value."""
-    import protstruc_tpu.ops.flash_attn as fa
-
+def test_bwd_key_strips_match_unstripped():
+    """Narrowing the in-kernel key strips changes no gradient value."""
     q, k, v, bias, kmask = _inputs(B=1, L=300, H=2, dh=16)
     kmask = kmask.at[0, -7:].set(False)
 
-    def grads(q, k, v, bias):
+    def grads(sub_k):
         def loss(q, k, v, bias):
-            o = fa.flash_pair_bias_attention(
+            o = flash_pair_bias_attention(
                 q, k, v, bias, kmask, tile_q=64, tile_k=512,
-                bwd_tiles=(64, 512), interpret=True)
+                bwd_tiles=(64, 512, sub_k), interpret=True)
             return jnp.sum(jnp.sin(o))
         return jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
 
-    g_whole = grads(q, k, v, bias)            # 512 = one whole strip
-    monkeypatch.setattr(fa, "_BWD_SUB_K", 128)  # -> 4 strips
-    g_strip = grads(q, k, v, bias)
+    g_whole = grads(512)   # one whole strip
+    g_strip = grads(128)   # 4 strips
     for name, a, b in zip("qkvb", g_whole, g_strip):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=0, atol=1e-6,
             err_msg=f"grad d{name}")
+
+
+def test_bwd_tiles_validation():
+    q, k, v, bias, kmask = _inputs(B=1, L=40, H=2)
+    for bad in [(0, 512), (64,), (64, 512, 128, 1), (64, -512), (64, 2.0)]:
+        with pytest.raises(ValueError, match="bwd_tiles"):
+            flash_pair_bias_attention(q, k, v, bias, kmask,
+                                      bwd_tiles=bad, interpret=True)
 
 
 def test_bfloat16_inputs():
