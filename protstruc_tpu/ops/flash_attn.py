@@ -41,6 +41,7 @@ against the jnp formulation in tests/test_flash_attn.py.
 from __future__ import annotations
 
 import functools
+import numbers
 
 import jax
 import jax.numpy as jnp
@@ -588,10 +589,14 @@ def _resolve_bwd_tiles(bwd_tiles, tile_q: int, tile_k: int,
                  or q.shape[-1] < 32)
         return _bwd_tiles(tile_q, tile_k, small) + (_BWD_SUB_K,)
     if len(bwd_tiles) not in (2, 3) or any(
-            not isinstance(t, int) or t <= 0 for t in bwd_tiles):
+            not isinstance(t, numbers.Integral) or t <= 0
+            for t in bwd_tiles):
         raise ValueError(
             f"bwd_tiles must be 2-3 positive ints (tile_q, tile_k[, "
             f"sub_k]), got {bwd_tiles!r}")
+    # plain ints: np integer types lack bit_length and would poison the
+    # lru_cache keys downstream
+    bwd_tiles = tuple(int(t) for t in bwd_tiles)
     cap = max(tile_q, tile_k)
     btq, btk = bwd_tiles[:2]
     bsk = bwd_tiles[2] if len(bwd_tiles) == 3 else _BWD_SUB_K

@@ -143,6 +143,12 @@ def test_bwd_tiles_validation():
         with pytest.raises(ValueError, match="bwd_tiles"):
             flash_pair_bias_attention(q, k, v, bias, kmask,
                                       bwd_tiles=bad, interpret=True)
+    # numpy integer types are accepted and coerced (np ints lack
+    # bit_length and would poison the lru_cache keys)
+    out = flash_pair_bias_attention(
+        q, k, v, bias, kmask,
+        bwd_tiles=(np.int64(64), np.int32(512)), interpret=True)
+    assert out.shape == q.shape
 
 
 def test_bfloat16_inputs():
