@@ -554,7 +554,7 @@ def flash_pair_bias_attention(q, k, v, bias, kmask, *,
         Inside the block the kernel computes in (tile_q, sub_k = 512)
         key strips to bound its f32 temporaries.  The caps are for
         compile-time FIT; on-chip, every schedule in the measured matrix
-        lands at 1.6-1.9x the jnp path fwd+bwd at L=4096 bf16, with
+        lands at 1.5-1.9x the jnp path fwd+bwd at L=4096 bf16, with
         schedule-to-schedule differences inside the 15-25% process noise
         (experiments/attn_strips_ab.py).
       interpret: run the Pallas interpreter (defaults to True off-TPU).
