@@ -4,7 +4,7 @@ Loads an antibody, trains InverseFold briefly on its backbone, then reports
 designed sequences for the H3 loop — the library-composition showcase
 (Chothia masks -> backbone featurization -> model -> per-loop decoding).
 
-    python examples/design_cdr.py tests/data/6dc4.pdb H L
+    python examples/design_cdr.py tests/data/6dc4.pdb H L [steps]
 """
 
 import functools
@@ -20,6 +20,7 @@ def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "tests/data/6dc4.pdb"
     heavy = sys.argv[2] if len(sys.argv) > 2 else "H"
     light = sys.argv[3] if len(sys.argv) > 3 else "L"
+    steps = int(sys.argv[4]) if len(sys.argv) > 4 else 100
 
     import jax
 
@@ -43,7 +44,7 @@ def main():
     params, opt, tx = make_if_train_state(model, feats, jax.random.PRNGKey(0), 2e-3)
     jstep = jax.jit(functools.partial(if_train_step, model=model, tx=tx))
 
-    for i in range(100):
+    for i in range(steps):
         params, opt, loss = jstep(params, opt, feats)
     rec = float(sequence_recovery(params, model, feats))
     print(f"trained: loss {float(loss):.3f}, overall recovery {rec:.0%}")
@@ -90,7 +91,7 @@ def main():
         u, o = ar_tx.update(g, o, p)
         return optax.apply_updates(p, u), o, l
 
-    for i in range(100):
+    for i in range(steps):
         ar_params, ar_opt, ar_loss = ar_step(ar_params, ar_opt,
                                              jax.random.PRNGKey(500 + i))
 
