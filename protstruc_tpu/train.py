@@ -311,8 +311,14 @@ def eval_batch_metrics(model, params, cfg: TrainConfig, batch):
 
     L = batch.n_residues
     cap = cfg.eval_max_len or L
-    wins = ([(0, L)] if L <= cap
-            else [(s, min(s + cap, L)) for s in range(0, L, cap)])
+    # equal-split windowing: n = ceil(L / cap) near-equal slices (each <=
+    # cap) instead of fixed-stride slices with an arbitrarily short tail —
+    # an e.g. 1-residue tail window has ~0 aligned RMSD by construction and
+    # would flatter the weighted average (ADVICE r4)
+    n_win = -(-L // cap)
+    wins = ([(0, L)] if n_win == 1
+            else [(i * L // n_win, (i + 1) * L // n_win)
+                  for i in range(n_win)])
     seq_idx = (np.asarray(batch.get_seq_idx())
                if len(wins) > 1 and batch.seq is not None else None)
 
@@ -349,19 +355,27 @@ def evaluate(model, params, paths: Sequence[str], cfg: TrainConfig) -> dict:
     """Held-out structure metrics: mean CA-lDDT and aligned CA-RMSD.
 
     Structures longer than ``cfg.eval_max_len`` are scored on contiguous
-    windows (see :func:`eval_batch_metrics`)."""
+    windows (see :func:`eval_batch_metrics`).  ``eval_n_windows`` in the
+    returned dict is the max window count over the eval set (1 = every
+    structure scored full-length) — windowed lDDT excludes cross-window
+    contacts, so scores with ``eval_n_windows > 1`` are not comparable to
+    full-length ones and the flag makes that visible in metrics.jsonl
+    (ADVICE r4)."""
     import numpy as np
 
     from protstruc_tpu.pdbio.dataset import StructureDataset
 
     ls, rs = [], []
+    max_windows = 1
     for batch in StructureDataset(list(paths), batch_size=cfg.batch_size,
                                   shuffle=False):
-        l, r, _ = eval_batch_metrics(model, params, cfg, batch)
+        l, r, nw = eval_batch_metrics(model, params, cfg, batch)
         ls.append(l)
         rs.append(r)
+        max_windows = max(max_windows, nw)
     return {"eval_ca_lddt": float(np.concatenate(ls).mean()),
-            "eval_ca_rmsd": float(np.concatenate(rs).mean())}
+            "eval_ca_rmsd": float(np.concatenate(rs).mean()),
+            "eval_n_windows": max_windows}
 
 
 def train(
@@ -468,7 +482,7 @@ def train(
     t0 = time.perf_counter()
     step = 0
     losses = []
-    evaled_step = -1  # last step whose held-out eval already ran in-loop
+    last_eval = None  # (step, eval dict) of the newest in-loop held-out eval
     # cfg.steps is the TOTAL step target: a crash-recovery rerun of the
     # same command completes to the configured total instead of training
     # cfg.steps more (which would also leave warmup_cosine resumes
@@ -535,7 +549,7 @@ def train(
                 save_train_state(checkpoint_dir, step, params, opt_state)
                 if eval_paths:
                     ev = evaluate(model, params, eval_paths, cfg)
-                    evaled_step = step
+                    last_eval = (step, ev)
                     log_fn(f"[eval] step {step}: "
                            + " ".join(f"{k}={v:.3f}" for k, v in ev.items()))
                     if cfg.metrics_jsonl:
@@ -551,17 +565,22 @@ def train(
     final_loss = losses[-1] if losses else None
     result = {"steps": step, "final_loss": final_loss, "seconds": dt}
     if eval_paths:
-        if evaled_step != step:
-            # off-cadence final step: evaluate once here; the cadence-
-            # aligned case already evaluated these exact params in-loop
+        if last_eval is not None and last_eval[0] == step:
+            # cadence-aligned final step: the in-loop eval already scored
+            # these exact params — reuse its dict instead of relying on a
+            # loop-scoped binding (ADVICE r4)
+            ev = last_eval[1]
+            fresh_eval = False
+        else:
             ev = evaluate(model, params, eval_paths, cfg)
+            fresh_eval = True
         result.update(ev)
         log_fn("[eval] final: " + " ".join(
             f"{k}={v:.3f}" for k, v in result.items() if k.startswith("eval")))
         # persist the final checkpoint's eval like the in-loop ones: when
         # cfg.steps is off the save_every cadence, step='best' could
         # otherwise never select the final (possibly best) checkpoint
-        if cfg.metrics_jsonl and evaled_step != step:
+        if cfg.metrics_jsonl and fresh_eval:
             with open(os.path.join(checkpoint_dir, "metrics.jsonl"),
                       "a") as fh:
                 fh.write(json.dumps(dict(ev, step=step)) + "\n")
