@@ -32,7 +32,8 @@ def log(*a):
 
 
 def measure(D, P, blocks, L=512, B=4, pair_update="mix", dtype_name="bf16",
-            remat=False, heads=8, remat_policy="none", use_flash_attn=False):
+            remat=False, heads=8, remat_policy="none", use_flash_attn=False,
+            fused_tri=False):
     import optax
 
     from protstruc_tpu.models.trfold import (
@@ -42,7 +43,8 @@ def measure(D, P, blocks, L=512, B=4, pair_update="mix", dtype_name="bf16",
     dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
     cfg = TrFoldConfig(node_dim=D, pair_dim=P, n_heads=heads, n_blocks=blocks,
                        dtype=dtype, pair_update=pair_update, remat=remat,
-                       remat_policy=remat_policy, use_flash_attn=use_flash_attn)
+                       remat_policy=remat_policy, use_flash_attn=use_flash_attn,
+                       fused_tri=fused_tri)
     model = TrFold(cfg)
 
     rng = np.random.RandomState(0)
@@ -69,6 +71,7 @@ def measure(D, P, blocks, L=512, B=4, pair_update="mix", dtype_name="bf16",
             f"{'+remat' if remat else ''}"
             f"{'/' + remat_policy if remat and remat_policy != 'none' else ''}"
             f"{'+flash' if use_flash_attn else ''}"
+            f"{'+fused_tri' if fused_tri else ''}"
             f" {dtype_name}")
     t0 = time.perf_counter()
     params, opt_state, loss = jstep(params, opt_state, feats)

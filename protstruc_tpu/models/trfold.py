@@ -88,6 +88,15 @@ class TrFoldConfig:
     # triangle multiplicative updates, outgoing + incoming, each a gated
     # einsum over the third residue — the AF2 pair-refinement mechanism).
     pair_update: str = "gated_mix"
+    # Fused Pallas streaming kernels for the triangle updates
+    # (ops/tri_mul.py): one pass for LayerNorm + the four gate/proj Denses
+    # + mask (prologue) and one for gate + LayerNorm + out-proj (epilogue),
+    # both with fused Pallas backwards — removes the ~15 elementwise passes
+    # over the (B, L, L, P) pair stream that bound production-width MFU.
+    # Param tree identical to the unfused path (checkpoints load across the
+    # flag); values match to dtype rounding.  Off-TPU it would run in the
+    # Pallas interpreter — load_fold_model flips it off there.
+    fused_tri: bool = False
     # Node attention via the fused flash Pallas kernel
     # (ops/flash_attn.py): online-softmax over key tiles, never
     # materializing the (B, H, L, L) logits/probabilities in HBM.  The op
@@ -361,6 +370,33 @@ class PairUpdate(nn.Module):
         return nn.LayerNorm(dtype=cfg.dtype)(pair + mix)
 
 
+class _DenseParams(nn.Module):
+    """Param-tree twin of ``nn.Dense``: declares kernel/bias with nn.Dense's
+    exact names, shapes and initializers WITHOUT running the matmul — the
+    hook that lets the fused-kernel path (ops/tri_mul.py) consume the same
+    checkpointable params the flax path would."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           (self.in_features, self.features)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
+class _LNParams(nn.Module):
+    """Param-tree twin of ``nn.LayerNorm`` (scale ones, bias zeros)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.features,)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
 class TriangleMultiplication(nn.Module):
     """AF2-style triangle multiplicative update (Algorithm 11/12).
 
@@ -368,6 +404,10 @@ class TriangleMultiplication(nn.Module):
     ``outgoing=False`` contracts over the incoming edges
     (``sum_k a_ki b_kj``).  Each contraction is one (L, L) x (L, L) batched
     matmul per channel — MXU-native, O(L^3 C) flops.
+
+    With ``cfg.fused_tri`` the elementwise/Dense streaming around the
+    contraction runs as two fused Pallas kernels (ops/tri_mul.py) with the
+    same param tree and values (to dtype rounding).
     """
 
     cfg: TrFoldConfig
@@ -377,6 +417,26 @@ class TriangleMultiplication(nn.Module):
     def __call__(self, pair, mask):
         cfg = self.cfg
         C = cfg.pair_dim
+        if cfg.fused_tri:
+            from protstruc_tpu.ops.tri_mul import fused_triangle_multiplication
+
+            dt = cfg.dtype
+            # mirror the flax modules' internal casts: Dense/LayerNorm cast
+            # their params to the compute dtype before use, so the cast
+            # sits on the same side of the custom VJP as flax puts it
+            params = {
+                name: tuple(w.astype(dt) for w in
+                            _LNParams(C, name=name)())
+                for name in ("ln_in", "ln_out")
+            }
+            params.update({
+                name: tuple(w.astype(dt) for w in
+                            _DenseParams(C, C, name=name)())
+                for name in ("a_gate", "a_proj", "b_gate", "b_proj",
+                             "out_gate", "out_proj")
+            })
+            return fused_triangle_multiplication(
+                pair.astype(dt), mask, params, outgoing=self.outgoing)
         src = nn.LayerNorm(dtype=cfg.dtype, name="ln_in")(pair)
         m = (mask[:, :, None] & mask[:, None, :]).astype(cfg.dtype)[..., None]
 
