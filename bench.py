@@ -543,20 +543,28 @@ def run_ingest_sustained():
             f"{total_mb * reps / dt:.0f} MB/s")
 
     # bucket-dispatcher economy: how many distinct (batch, bucket) shapes
-    # the jitted consumer would compile for vs batches served
-    from protstruc_tpu.pdbio.dataset import StructureDataset
+    # the jitted consumer would compile for vs batches served.  Run twice:
+    # cold (parsed-structure cache empty) and warm (the epoch-2+ steady
+    # state, where assembly is pad-and-stack-bound — VERDICT r4 item 5).
+    from protstruc_tpu.pdbio.dataset import (
+        StructureDataset, clear_parsed_cache, parsed_cache_stats)
 
-    ds = StructureDataset(files * 10, batch_size=4, shuffle=False)
-    shapes, batches = set(), 0
-    t0 = time.perf_counter()
-    for batch in ds:
-        shapes.add((batch.batch_size, batch.n_residues))
-        batches += 1
-    dt = time.perf_counter() - t0
-    log(f"[ingest-sustained] dataset: {batches} batches in {dt:.1f} s "
-        f"({batches * 4 / dt:.0f} structures/s), {len(shapes)} unique "
-        f"jit shapes -> dispatcher hit rate "
-        f"{100 * (1 - len(shapes) / max(batches, 1)):.0f}%")
+    clear_parsed_cache()
+    for lane in ("cold", "warm"):
+        ds = StructureDataset(files * 10, batch_size=4, shuffle=False)
+        shapes, batches = set(), 0
+        t0 = time.perf_counter()
+        for batch in ds:
+            shapes.add((batch.batch_size, batch.n_residues))
+            batches += 1
+        dt = time.perf_counter() - t0
+        cs = parsed_cache_stats()
+        log(f"[ingest-sustained] dataset {lane}: {batches} batches in "
+            f"{dt:.1f} s ({batches * 4 / dt:.0f} structures/s), "
+            f"{len(shapes)} unique jit shapes -> dispatcher hit rate "
+            f"{100 * (1 - len(shapes) / max(batches, 1)):.0f}%, "
+            f"parse-cache hit rate {100 * cs['hit_rate']:.0f}% "
+            f"({cs['entries']} entries, {cs['bytes'] / 1e6:.0f} MB)")
 
 
 def measure_rtt():

@@ -11,6 +11,14 @@ blocking host loop per call, protstruc.py:130-192).  Design:
 * **Prefetch** — a background thread keeps ``prefetch`` assembled batches
   ready; with a device argument, batches are already device-resident when
   the training loop asks for them.
+* **Parsed-structure cache** — a process-global, byte-budgeted LRU keyed by
+  ``(path, mtime_ns, size)`` holds the host-side ParsedStructure of each
+  file, so epoch 2+ (and every re-visit of a looped corpus) skips the
+  parse entirely and batch assembly is pad-and-stack-bound (VERDICT r4
+  item 5: the assembled-batch lane ran 27x below the parse rate because
+  every epoch re-parsed every file).  ParsedStructure arrays are treated
+  as immutable by every consumer (``_from_parsed`` copies into padded
+  batch arrays), so sharing the cached object is safe.
 
     ds = StructureDataset(paths, batch_size=8)
     for batch in ds:                      # StructureBatch per iteration
@@ -19,9 +27,10 @@ blocking host loop per call, protstruc.py:130-192).  Design:
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
-from collections import deque
+from collections import OrderedDict, deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, List, Sequence
 
@@ -29,7 +38,74 @@ import numpy as np
 
 from protstruc_tpu.utils.buckets import DEFAULT_BUCKETS, bucket_length
 
-__all__ = ["StructureDataset"]
+__all__ = ["StructureDataset", "parsed_cache_stats", "clear_parsed_cache"]
+
+
+def _parsed_nbytes(parsed) -> int:
+    return sum(getattr(v, "nbytes", 64)
+               for v in vars(parsed).values())
+
+
+class _ParsedLRU:
+    """Process-global byte-budgeted LRU of ParsedStructure objects."""
+
+    def __init__(self, max_bytes: int):
+        self.max_bytes = max_bytes
+        self._lock = threading.Lock()
+        self._od: "OrderedDict" = OrderedDict()
+        self.bytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        with self._lock:
+            item = self._od.get(key)
+            if item is None:
+                self.misses += 1
+                return None
+            self._od.move_to_end(key)
+            self.hits += 1
+            return item[0]
+
+    def put(self, key, parsed):
+        nb = _parsed_nbytes(parsed)
+        if nb > self.max_bytes:
+            return
+        with self._lock:
+            old = self._od.pop(key, None)
+            if old is not None:
+                self.bytes -= old[1]
+            self._od[key] = (parsed, nb)
+            self.bytes += nb
+            while self.bytes > self.max_bytes and len(self._od) > 1:
+                _, (_, freed) = self._od.popitem(last=False)
+                self.bytes -= freed
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {"entries": len(self._od), "bytes": self.bytes,
+                    "hits": self.hits, "misses": self.misses,
+                    "hit_rate": self.hits / max(self.hits + self.misses, 1)}
+
+    def clear(self):
+        with self._lock:
+            self._od.clear()
+            self.bytes = 0
+
+
+# default budget 1 GiB (~4M residues of host-side arrays); override per
+# dataset via cache_bytes, or globally via PROTSTRUC_TPU_PARSE_CACHE_BYTES
+_CACHE = _ParsedLRU(int(os.environ.get(
+    "PROTSTRUC_TPU_PARSE_CACHE_BYTES", 1 << 30)))
+
+
+def parsed_cache_stats() -> dict:
+    """Hit/miss/size counters of the process-global parsed-structure cache."""
+    return _CACHE.stats()
+
+
+def clear_parsed_cache():
+    _CACHE.clear()
 
 
 class StructureDataset:
@@ -44,6 +120,9 @@ class StructureDataset:
         n_workers: parser threads.
         prefetch: batches to keep assembled ahead of the consumer.
         drop_remainder: drop final short batch per bucket.
+        use_cache: serve repeat files from the process-global parsed-
+            structure LRU (keyed by path + mtime + size, so edited files
+            re-parse).  Default on; the cache is shared across datasets.
     """
 
     def __init__(
@@ -56,6 +135,7 @@ class StructureDataset:
         n_workers: int = 4,
         prefetch: int = 2,
         drop_remainder: bool = False,
+        use_cache: bool = True,
     ):
         self.paths = list(paths)
         self.batch_size = batch_size
@@ -65,7 +145,25 @@ class StructureDataset:
         self.n_workers = n_workers
         self.prefetch = prefetch
         self.drop_remainder = drop_remainder
+        self.use_cache = use_cache
         self._epoch = 0
+
+    def _parse(self, path):
+        from protstruc_tpu.pdbio.parser import parse_pdb
+
+        if not self.use_cache:
+            return parse_pdb(path)
+        try:
+            st = os.stat(path)
+            key = (os.fspath(path), st.st_mtime_ns, st.st_size)
+        except OSError:
+            return parse_pdb(path)  # non-path sources: parse uncached
+        hit = _CACHE.get(key)
+        if hit is not None:
+            return hit
+        parsed = parse_pdb(path)
+        _CACHE.put(key, parsed)
+        return parsed
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -89,8 +187,6 @@ class StructureDataset:
         return StructureBatch._from_parsed(group, target_length=max_l)
 
     def __iter__(self) -> Iterator:
-        from protstruc_tpu.pdbio.parser import parse_pdb
-
         paths = self._epoch_paths()
         self._epoch += 1
 
@@ -130,7 +226,7 @@ class StructureDataset:
                                and not stop.is_set()):
                             try:
                                 inflight.append(
-                                    pool.submit(parse_pdb, next(path_it)))
+                                    pool.submit(self._parse, next(path_it)))
                             except StopIteration:
                                 break
 

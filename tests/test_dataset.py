@@ -101,7 +101,10 @@ def test_abandoned_iteration_stops_parsing(monkeypatch):
     monkeypatch.setattr(parser_mod, "parse_pdb", counting_parse)
     total = 60
     paths = [pdb_path("1REX.pdb")] * total
-    ds = StructureDataset(paths, batch_size=1, prefetch=1, n_workers=2)
+    # use_cache=False: the parsed-structure cache would otherwise satisfy
+    # 59/60 lookups and mask the lazy-submission behavior under test
+    ds = StructureDataset(paths, batch_size=1, prefetch=1, n_workers=2,
+                          use_cache=False)
     before = threading.active_count()
     for batch in ds:
         break
@@ -111,3 +114,76 @@ def test_abandoned_iteration_stops_parsing(monkeypatch):
     # bound: prefetch + 2x n_workers in flight + a small race margin,
     # far below the 60-file corpus the eager pool.map used to drain
     assert n_parsed[0] <= 20, f"parsed {n_parsed[0]}/{total} after abandon"
+
+
+def test_parsed_cache_epoch2_hits(monkeypatch):
+    """Epoch 2+ must serve every file from the parsed-structure cache:
+    zero re-parses, identical batch values."""
+    import protstruc_tpu.pdbio.parser as parser_mod
+    from protstruc_tpu.pdbio.dataset import clear_parsed_cache
+
+    clear_parsed_cache()
+    n_parsed = [0]
+    real_parse = parser_mod.parse_pdb
+
+    def counting_parse(path):
+        n_parsed[0] += 1
+        return real_parse(path)
+
+    monkeypatch.setattr(parser_mod, "parse_pdb", counting_parse)
+    paths = [pdb_path("1REX.pdb"), pdb_path("4EOT.pdb")]
+    ds = StructureDataset(paths, batch_size=2)
+    b1 = list(ds)[0]
+    assert n_parsed[0] == 2
+    b2 = list(ds)[0]  # epoch 2: all cache hits
+    assert n_parsed[0] == 2
+    np.testing.assert_array_equal(np.asarray(b1.atom_mask),
+                                  np.asarray(b2.atom_mask))
+    x1 = np.nan_to_num(np.asarray(b1.xyz), nan=-9.0)
+    np.testing.assert_array_equal(
+        x1, np.nan_to_num(np.asarray(b2.xyz), nan=-9.0))
+
+
+def test_parsed_cache_invalidates_on_mtime(tmp_path, monkeypatch):
+    """Editing a file (new mtime/size) must re-parse, not serve stale data."""
+    import os
+    import shutil
+
+    import protstruc_tpu.pdbio.parser as parser_mod
+    from protstruc_tpu.pdbio.dataset import clear_parsed_cache
+
+    clear_parsed_cache()
+    p = tmp_path / "s.pdb"
+    shutil.copy(pdb_path("1REX.pdb"), p)
+    n_parsed = [0]
+    real_parse = parser_mod.parse_pdb
+
+    def counting_parse(path):
+        n_parsed[0] += 1
+        return real_parse(path)
+
+    monkeypatch.setattr(parser_mod, "parse_pdb", counting_parse)
+    list(StructureDataset([str(p)], batch_size=1))
+    assert n_parsed[0] == 1
+    shutil.copy(pdb_path("4EOT.pdb"), p)  # different content + size
+    os.utime(p, ns=(1, 1))  # force a distinct mtime even on coarse clocks
+    (b,) = list(StructureDataset([str(p)], batch_size=1))
+    assert n_parsed[0] == 2
+    assert int(b.get_total_lengths()[0]) == 184  # 4EOT, not stale 1REX (130)
+
+
+def test_parsed_cache_budget_eviction():
+    """The LRU respects its byte budget and never grows unbounded."""
+    from protstruc_tpu.pdbio.dataset import _ParsedLRU
+    from protstruc_tpu.pdbio.parser import parse_pdb
+
+    parsed = parse_pdb(pdb_path("1REX.pdb"))
+    one = sum(getattr(v, "nbytes", 64) for v in vars(parsed).values())
+    lru = _ParsedLRU(max_bytes=int(2.5 * one))
+    for i in range(5):
+        lru.put(("k", i, 0), parsed)
+    st = lru.stats()
+    assert st["entries"] == 2 and st["bytes"] <= lru.max_bytes
+    # oldest evicted, newest present
+    assert lru.get(("k", 0, 0)) is None
+    assert lru.get(("k", 4, 0)) is not None
