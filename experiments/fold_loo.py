@@ -44,7 +44,8 @@ ALL_FILES = [
 DUPLICATE = "1a6v_JN.pdb"
 
 
-def run_fold(heldout, steps, ck_root):
+def run_fold(heldout, steps, ck_root, ema=0.0, n_recycle=1, fused_tri=False,
+             step_select=None, n_evals=4):
     import warnings
 
     from protstruc_tpu.train import TrainConfig, load_fold_model, train
@@ -55,9 +56,10 @@ def run_fold(heldout, steps, ck_root):
     eval_paths = [f"{DATA}/{heldout}"]
     cfg = TrainConfig(
         steps=steps, batch_size=4, node_dim=128, pair_dim=64, n_heads=4,
-        n_blocks=4, n_ipa_iter=6, n_recycle=1, crop_len=256,
-        sequence_only=False, save_every=max(steps // 4, 1), seed=0,
-        pair_update="triangle", remat=True,
+        n_blocks=4, n_ipa_iter=6, n_recycle=n_recycle, crop_len=256,
+        sequence_only=False, save_every=max(steps // n_evals, 1), seed=0,
+        pair_update="triangle", remat=True, ema_decay=ema,
+        fused_tri=fused_tri,
     )
     ck = os.path.join(ck_root, heldout.replace(".pdb", ""))
     t0 = time.perf_counter()
@@ -66,7 +68,7 @@ def run_fold(heldout, steps, ck_root):
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")  # structure-conditioned OOD warning
-        model, params, cfg_loaded = load_fold_model(ck)
+        model, params, cfg_loaded = load_fold_model(ck, step=step_select)
     per = eval_per_structure(model, params, cfg_loaded, eval_paths)[heldout]
 
     curve = []
@@ -89,11 +91,27 @@ def run_fold(heldout, steps, ck_root):
 
 def main():
     argv = list(sys.argv[1:])
-    deadline_h = None
-    if "--deadline" in argv:
-        i = argv.index("--deadline")
-        deadline_h = float(argv[i + 1])
-        del argv[i:i + 2]
+
+    def opt(flag, default=None, cast=float):
+        if flag in argv:
+            i = argv.index(flag)
+            v = cast(argv[i + 1])
+            del argv[i:i + 2]
+            return v
+        return default
+
+    deadline_h = opt("--deadline")
+    ema = opt("--ema", 0.0)
+    n_recycle = int(opt("--recycle", 1))
+    ck_root = opt("--ck-root", "out/fold_loo_r4", cast=str)
+    fused_tri = "--fused-tri" in argv
+    if fused_tri:
+        argv.remove("--fused-tri")
+    # --best: evaluate the checkpoint with the best in-training held-out
+    # curve point instead of the final step (train.py step="best")
+    step_select = "best" if "--best" in argv else None
+    if step_select:
+        argv.remove("--best")
     steps = int(argv[0]) if argv else 3000
     out_path = argv[1] if len(argv) > 1 else "docs/quality/fold_loo_r4.json"
     folds = argv[2:] or [f for f in ALL_FILES if f != DUPLICATE]
@@ -111,6 +129,10 @@ def main():
                  f"{DUPLICATE} excluded); production train loop, structure "
                  "mode, triangle pair updates + remat, crop 256",
         "steps_per_fold": steps,
+        "ema_decay": ema,
+        "n_recycle": n_recycle,
+        "fused_tri": fused_tri,
+        "checkpoint_select": step_select or "final",
         "folds": {},
     }
     if os.path.exists(out_path):  # resume: keep completed folds
@@ -132,7 +154,9 @@ def main():
             log(f"deadline hit after {len(report['folds'])} folds")
             break
         log(f"=== LOO fold: {heldout} ===")
-        entry = run_fold(heldout, steps, "out/fold_loo_r4")
+        entry = run_fold(heldout, steps, ck_root, ema=ema,
+                         n_recycle=n_recycle, fused_tri=fused_tri,
+                         step_select=step_select)
         entry["baselines"] = compute_baselines(
             f"{DATA}/{heldout}", jax.random.PRNGKey(7))
         report["folds"][heldout] = entry

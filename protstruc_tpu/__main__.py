@@ -222,6 +222,7 @@ def cmd_train(args) -> int:
         pair_update=args.pair_update, remat=args.remat,
         remat_policy=args.remat_policy,
         use_flash_attn=args.flash_attn,
+        fused_tri=args.fused_tri,
         mesh_shape=(tuple(int(x) for x in args.mesh.split(","))
                     if args.mesh else None),
         zero1=args.zero1,
@@ -441,6 +442,11 @@ def main(argv=None) -> int:
     t.add_argument("--flash-attn", action="store_true",
                    help="fused flash pair-bias node attention (Pallas "
                         "kernel, no (B,H,L,L) probs in HBM)")
+    t.add_argument("--fused-tri", action="store_true",
+                   help="fused Pallas triangle-multiplication kernels "
+                        "(with --pair-update triangle): one streaming pass "
+                        "for the LN+gate prologue / gate+proj epilogue, "
+                        "fused backwards; same param tree as unfused")
     t.add_argument("--remat-policy", default="none",
                    choices=("none", "tri_dots", "dots"),
                    help="with --remat: 'tri_dots' saves the triangle-"

@@ -92,6 +92,13 @@ class TrainConfig:
     # (1.8-2.9x fwd+bwd on v5e). Shards over dp/tp meshes; under sp>1 the
     # trunk switches to ring flash attention (ops/ring_attn.py).
     use_flash_attn: bool = False
+    # fused Pallas triangle-multiplication kernels (ops/tri_mul.py) for
+    # pair_update="triangle": the LN+gate/proj prologue and gate+LN+proj
+    # epilogue each run as one streaming pass with fused backwards —
+    # removes the pair-stream elementwise passes that bound MFU at
+    # production widths.  Param tree unchanged (checkpoints interchange);
+    # off-TPU load_fold_model flips it off (interpreter-only there).
+    fused_tri: bool = False
     # observability: append {"step", "loss", "ms", "t"} lines to
     # <checkpoint_dir>/metrics.jsonl every log interval; capture an XProf
     # trace of steps 3-6 into profile_dir when set
@@ -229,6 +236,7 @@ def _build_model(cfg: TrainConfig, ring_mesh=None):
                          dtype=dtype, pair_update=cfg.pair_update,
                          remat=cfg.remat, remat_policy=cfg.remat_policy,
                          use_flash_attn=cfg.use_flash_attn,
+                         fused_tri=cfg.fused_tri,
                          ring_mesh=ring_mesh)
     return FoldModel(
         trunk_cfg=trunk,
@@ -678,6 +686,10 @@ def load_fold_model(checkpoint_dir: str, use_ema: bool = True, step=None):
         # kernel would run in the Pallas interpreter — orders of magnitude
         # slower than XLA's fused einsums, with no numerical upside.
         cfg = dataclasses.replace(cfg, use_flash_attn=False)
+    if cfg.fused_tri and jax.default_backend() != "tpu":
+        # same interchange for the fused triangle kernels (identical param
+        # tree, values to dtype rounding)
+        cfg = dataclasses.replace(cfg, fused_tri=False)
     model = _build_model(cfg)
 
     dummy = featurize_from_sequence(

@@ -113,3 +113,38 @@ def test_tutorial_executes(md, prelude_ns, docs_cwd):
             exec(compile(code, f"{md.name}[block {i}]", "exec"), ns)
         except Exception as e:
             pytest.fail(f"{md.name} block {i} failed: {type(e).__name__}: {e}\n{code}")
+
+
+def test_api_reference_in_sync():
+    """docs/reference/*.md must match what docs/gen_reference.py renders
+    from the live docstrings (the rebuild's mkdocstrings equivalent)."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "gen_reference", root / "docs" / "gen_reference.py")
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    pages = gen.generate()
+    ref_dir = root / "docs" / "reference"
+    for fname, content in pages.items():
+        on_disk = (ref_dir / fname).read_text()
+        assert on_disk == content, (
+            f"{fname} is stale: run python docs/gen_reference.py")
+
+
+def test_api_reference_in_nav():
+    """mkdocs.yml must list every generated reference page (and only
+    existing files overall)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).parent.parent
+    nav = (root / "mkdocs.yml").read_text()
+    assert "Reference:" in nav
+    for page in sorted((root / "docs" / "reference").glob("*.md")):
+        assert f"reference/{page.name}" in nav, page.name
+    # every nav .md path exists
+    import re as _re
+    for m in _re.finditer(r":\s*([\w/.-]+\.md)\s*$", nav, _re.M):
+        assert (root / "docs" / m.group(1)).exists(), m.group(1)
