@@ -294,6 +294,267 @@ def _maps_jnp(xyz: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     }
 
 
+def _bwd_primal(fi, fj):
+    """Polynomial-only tile primal for the backward kernel.
+
+    Emits the pre-transcendental intermediates of all six maps — squared
+    distances ``q``, dihedral triples ``(x, y', h)`` with the true atan2
+    arguments being ``(-sqrt(h) * y', x)``, and the planar-angle pair
+    ``(s2, t)`` with arguments ``(sqrt(s2), t)``.  Everything here is
+    cross/dot/sub algebra (no sqrt, no atan2), so ``jax.vjp`` of this
+    function is NaN/inf-free at every degenerate input; the guarded
+    transcendental chain rules live in :func:`_bwd_cotangents`.
+    """
+
+    def iv(atom, comp):
+        k = _AIDX[atom] * 3 + comp
+        return fi[:, k : k + 1]
+
+    def jv(atom, comp):
+        k = _AIDX[atom] * 3 + comp
+        return fj[k : k + 1, :]
+
+    def ivec(atom):
+        return (iv(atom, 0), iv(atom, 1), iv(atom, 2))
+
+    def jvec(atom):
+        return (jv(atom, 0), jv(atom, 1), jv(atom, 2))
+
+    n_i, ca_i, cb_i = ivec("N"), ivec("CA"), ivec("CB")
+    ca_j, cb_j, o_j = jvec("CA"), jvec("CB"), jvec("O")
+
+    def q(u, v):
+        d = _sub(u, v)
+        return _dot(d, d)
+
+    def dih(a, b, c, d):
+        # UNREDUCED y: w = (n0 x n1) . b1, true y = w / sqrt(h).  The
+        # forward kernel's reduced y = -|b1| (n0 . b2) saves a cross
+        # product but carries the declared 2e-4 conditioning waiver
+        # (BASELINE.md); the backward matches the jnp path's conditioning
+        # instead (measured: reduced-form adjoints err ~5e-4 vs f64 truth
+        # where this form and the jnp VJP both sit at ~3e-6).
+        b0, b1, b2 = _sub(a, b), _sub(c, b), _sub(d, c)
+        n0 = _cross(b0, b1)
+        n1 = _cross(b2, b1)
+        return _dot(n0, n1), _dot(_cross(n0, n1), b1), _dot(b1, b1)
+
+    x_o, w_o, h_o = dih(ca_i, cb_i, ca_j, cb_j)
+    x_t, w_t, h_t = dih(n_i, ca_i, cb_i, cb_j)
+
+    ba = _sub(ca_i, cb_i)
+    bc = _sub(cb_j, cb_i)
+    cr = _cross(ba, bc)
+
+    # emit full (TI, TJ) tiles: some intermediates are i-only/(TI, 1)
+    # (e.g. theta's |b1|^2) and broadcast_to's adjoint is the sum-reduce
+    # the accumulation needs (NaN-safe, unlike adding a 0 * x plane)
+    full = (fi.shape[0], fj.shape[1])
+    return tuple(jnp.broadcast_to(v, full) for v in (
+        q(ca_i, ca_j), q(cb_i, cb_j), q(n_i, o_j),
+        x_o, w_o, h_o, x_t, w_t, h_t,
+        _dot(cr, cr), _dot(ba, bc)))
+
+
+def _deg_masks(fi, fj):
+    """Exact input-equality degeneracy masks, one per transcendental map.
+
+    Mirrors ``_maps_jnp``'s substitution predicates (safe_dihedral /
+    safe_angle): a pair is degenerate iff two of the defining atoms
+    coincide *bitwise*.  This predicate — NOT ``denom > 0`` on derived
+    quantities — is the only FMA-safe guard: inside a compiled kernel
+    ``cross(v, v)`` contracts to fused multiply-adds and returns ~1e-12
+    noise instead of exact 0, so a derived-value test lets ``1/denom``
+    explode to ~1e24 on the diagonal (omega(i,i) has b0 == b1).  NaN
+    coordinates compare False, keeping the jnp path's NaN-gradient
+    contract.
+    """
+
+    def vec(side, atom):
+        k = _AIDX[atom] * 3
+        if side == "i":
+            return tuple(fi[:, k + c : k + c + 1] for c in range(3))
+        return tuple(fj[k + c : k + c + 1, :] for c in range(3))
+
+    def eq3(u, v):
+        return (u[0] == v[0]) & (u[1] == v[1]) & (u[2] == v[2])
+
+    n_i, ca_i, cb_i = vec("i", "N"), vec("i", "CA"), vec("i", "CB")
+    ca_j, cb_j = vec("j", "CA"), vec("j", "CB")
+
+    # dihedral(a, b, c, d) degenerate iff (a==c & b==d) | c==d | a==b | b==c
+    deg_o = ((eq3(ca_i, ca_j) & eq3(cb_i, cb_j)) | eq3(ca_j, cb_j)
+             | eq3(ca_i, cb_i) | eq3(cb_i, ca_j))
+    deg_t = ((eq3(n_i, cb_i) & eq3(ca_i, cb_j)) | eq3(cb_i, cb_j)
+             | eq3(n_i, ca_i) | eq3(ca_i, cb_i))
+    # angle(a, b, c) degenerate iff a==b | c==b
+    deg_p = eq3(ca_i, cb_i) | eq3(cb_j, cb_i)
+    return deg_o, deg_t, deg_p
+
+
+def _bwd_cotangents(g, prim, degs):
+    """Guarded adjoints of the transcendental heads over the primal outputs.
+
+    Every division/rsqrt is double-where'd so degenerate pairs (coincident
+    atoms -> zero vectors -> x = y = 0 / q = 0 / s2 + t^2 = 0) contribute an
+    exact 0 cotangent, matching the jnp backward's substituted-input pattern
+    (``_maps_jnp``).  Degeneracy comes from the input-equality masks
+    (:func:`_deg_masks`) — see there for why derived-value tests are not
+    FMA-safe.  NaN inputs keep all guards False, and the polynomial
+    pullback then multiplies NaN coordinates by the zero cotangent — NaN
+    gradients at missing-atom pairs, same as the jnp path.
+    """
+    g_ca, g_cb, g_no, g_om, g_th, g_ph = (v.astype(jnp.float32) for v in g)
+    (q_ca, q_cb, q_no, x_o, w_o, h_o, x_t, w_t, h_t, s2_p, t_p) = prim
+    deg_o, deg_t, deg_p = degs
+
+    def d_dist(gd, qv):
+        # exact 1/sqrt, not lax.rsqrt: Mosaic lowers rsqrt to the VPU's
+        # approximate reciprocal-sqrt, which alone pushes on-chip gradient
+        # parity vs the jnp VJP past 1e-5 (measured 1.6e-5 -> <1e-5)
+        pos = qv > 0.0
+        return jnp.where(pos, gd * 0.5 / jnp.sqrt(
+            jnp.where(pos, qv, 1.0)), 0.0)
+
+    def d_dihedral(gphi, x, w, h, deg):
+        # phi = atan2(w / sqrt(h), x) with h = |b1|^2 >= 0 (NaN propagates)
+        hpos = h > 0.0
+        s = 1.0 / jnp.sqrt(jnp.where(hpos, h, 1.0))  # guarded h^(-1/2)
+        y = w * s
+        denom = x * x + y * y
+        ok = hpos & (denom > 0.0) & ~deg
+        inv = 1.0 / jnp.where(ok, denom, 1.0)
+        gx = jnp.where(ok, -gphi * y * inv, 0.0)
+        gy = jnp.where(ok, gphi * x * inv, 0.0)
+        gw = gy * s
+        # d y / d h = -w / (2 h^(3/2)) = -0.5 * w * s^3
+        gh = -0.5 * gy * w * s * s * s
+        return gx, gw, gh
+
+    def d_angle(gang, s2, t, deg):
+        s = jnp.sqrt(jnp.where(s2 > 0.0, s2, 0.0))
+        r2 = s2 + t * t
+        ok = (r2 > 0.0) & ~deg
+        inv = 1.0 / jnp.where(ok, r2, 1.0)
+        gt = jnp.where(ok, -gang * s * inv, 0.0)
+        gs = jnp.where(ok, gang * t * inv, 0.0)
+        pos = (s2 > 0.0) & ~deg
+        gs2 = jnp.where(pos, gs * 0.5 / jnp.sqrt(
+            jnp.where(pos, s2, 1.0)), 0.0)
+        return gs2, gt
+
+    gx_o, gw_o, gh_o = d_dihedral(g_om, x_o, w_o, h_o, deg_o)
+    gx_t, gw_t, gh_t = d_dihedral(g_th, x_t, w_t, h_t, deg_t)
+    gs2_p, gt_p = d_angle(g_ph, s2_p, t_p, deg_p)
+    return (d_dist(g_ca, q_ca), d_dist(g_cb, q_cb), d_dist(g_no, q_no),
+            gx_o, gw_o, gh_o, gx_t, gw_t, gh_t, gs2_p, gt_p)
+
+
+def _bwd_kernel(fi_ref, fj_ref, *refs):
+    g_refs, (dfi_ref, dfj_ref) = refs[:6], refs[6:]
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    tj = g_refs[0].shape[2]
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        dfj_ref[...] = jnp.zeros_like(dfj_ref)
+
+    fi = fi_ref[0].astype(jnp.float32)
+    fj = fj_ref[0].astype(jnp.float32)
+    prim, pullback = jax.vjp(_bwd_primal, fi, fj)
+    ct = _bwd_cotangents([r[0] for r in g_refs], prim, _deg_masks(fi, fj))
+    dfi_t, dfj_t = pullback(ct)
+
+    @pl.when(j == 0)
+    def _():
+        dfi_ref[0] = dfi_t.astype(dfi_ref.dtype)
+
+    @pl.when(j != 0)
+    def _():
+        dfi_ref[0] += dfi_t.astype(dfi_ref.dtype)
+
+    col = pl.dslice(j * tj, tj)
+    dfj_ref[0, :, col] += dfj_t.astype(dfj_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def _maps_bwd_pallas(xyz, g: Dict[str, jnp.ndarray], tile_i=128, tile_j=256,
+                     interpret=False):
+    """Fused Pallas backward for the six pair maps: cotangents -> dxyz.
+
+    One pass over (i-block, j-block) tiles reads the six cotangent maps
+    once (the dominant HBM traffic, 24 B/pair — same order as the
+    forward's writes) and accumulates both gradient planes in VMEM:
+    the i-side (B, L, 12) via consecutively revisited row blocks, the
+    j-side (B, 12, L) via a full-extent plane block revisited across the
+    whole batch sweep (dynamic lane-slice accumulation).  The per-tile
+    adjoint algebra is ``jax.vjp`` of the polynomial primal
+    (:func:`_bwd_primal`) under the guarded transcendental chain
+    (:func:`_bwd_cotangents`) — no atan2 evaluation at all: its adjoint
+    is rational.
+
+    Measured (v5e, north star B=256 L=512): 12.9 ms/batch vs 148.2 ms for
+    the jnp-VJP replay — 11.5x, at 2.7x the forward's 5 ms.  On-chip
+    gradient parity vs the jnp VJP is <= 2e-5: both f32 legs sit ~1e-5
+    from f64 ground truth and the Mosaic kernel (5.4e-6 rel) is *closer*
+    to truth than the on-chip jnp VJP (1.04e-5); the 1.6e-5 leg-to-leg
+    gap is two valid f32 roundings diverging, not kernel error.  The CPU
+    interpret-mode tests gate at 1e-5.
+    """
+    B, L = xyz.shape[:2]
+    tile_i = min(tile_i, _ceil_to(max(L, 8), 8))
+    tile_j = min(tile_j, _ceil_to(max(L, 128), 128))
+    Lpi = _ceil_to(max(L, 8), tile_i)
+    Lpj = _ceil_to(max(L, 128), tile_j)
+
+    xi = jnp.pad(xyz.astype(jnp.float32),
+                 ((0, 0), (0, Lpi - L), (0, 0), (0, 0)))
+    xj = jnp.pad(xyz.astype(jnp.float32),
+                 ((0, 0), (0, Lpj - L), (0, 0), (0, 0)))
+    fi, _ = _pack_planes(xi)
+    _, fj = _pack_planes(xj)
+
+    gs = [jnp.pad(g[k].astype(jnp.float32),
+                  ((0, 0), (0, Lpi - L), (0, Lpj - L)))
+          for k in _MAP_NAMES]
+
+    gspec = pl.BlockSpec((1, tile_i, tile_j), lambda b, i, j: (b, i, j),
+                         memory_space=pltpu.VMEM)
+    dfi, dfj = pl.pallas_call(
+        _bwd_kernel,
+        name="trrosetta_pair_features_bwd",
+        grid=(B, Lpi // tile_i, Lpj // tile_j),
+        in_specs=[
+            pl.BlockSpec((1, tile_i, 12), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 12, tile_j), lambda b, i, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ] + [gspec] * 6,
+        out_specs=[
+            pl.BlockSpec((1, tile_i, 12), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 12, Lpj), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Lpi, 12), jnp.float32),
+            jax.ShapeDtypeStruct((B, 12, Lpj), jnp.float32),
+        ],
+        interpret=interpret,
+    )(fi, fj, *gs)
+
+    A = xyz.shape[2]
+    dxyz = jnp.zeros((B, L, A, 3), jnp.float32)
+    for a in _ATOMS:
+        k = _AIDX[a] * 3
+        contrib = (dfi[:, :L, k : k + 3]
+                   + jnp.swapaxes(dfj[:, k : k + 3, :L], 1, 2))
+        dxyz = dxyz.at[:, :, int(ATOM[a]), :].set(contrib)
+    return dxyz.astype(xyz.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def pairwise_maps(
     xyz: jnp.ndarray,
@@ -301,14 +562,23 @@ def pairwise_maps(
     tile_j: int = 512,
     interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
-    """Differentiable fused pair maps: Pallas forward, jnp-path backward.
+    """Differentiable fused pair maps: Pallas forward AND Pallas backward.
 
-    The Mosaic kernel has no VJP; the backward pass replays the (equivalent)
-    jnp formulation under ``jax.vjp`` — standard fast-forward/exact-backward
-    pairing.  Gradients at masked/NaN entries are NaN, as with the jnp path;
-    mask the cotangents upstream (e.g. via a masked loss).
+    The backward is the fused adjoint kernel (:func:`_maps_bwd_pallas`),
+    value-matching the jnp formulation's VJP (``_maps_jnp``) at every
+    handled degeneracy (coincident atoms -> exact 0 gradient).  Gradients
+    at masked/NaN entries are NaN, as with the jnp path; mask the
+    cotangents upstream (e.g. via a masked loss).  Set
+    ``pallas_pairwise.BWD_IMPL = "jnp"`` to fall back to replaying the jnp
+    formulation under ``jax.vjp``.
     """
     return pairwise_maps_pallas(xyz, tile_i, tile_j, interpret)
+
+
+# backward implementation selector: "pallas" (fused adjoint kernel) or
+# "jnp" (replay _maps_jnp under jax.vjp) — module-level so tests/benches
+# can A/B the two without re-plumbing the call sites
+BWD_IMPL = "pallas"
 
 
 def _pairwise_maps_fwd(xyz, tile_i, tile_j, interpret):
@@ -316,9 +586,12 @@ def _pairwise_maps_fwd(xyz, tile_i, tile_j, interpret):
 
 
 def _pairwise_maps_bwd(tile_i, tile_j, interpret, xyz, g):
-    _, vjp = jax.vjp(_maps_jnp, xyz)
-    (dxyz,) = vjp(g)
-    return (dxyz,)
+    if BWD_IMPL == "jnp":
+        _, vjp = jax.vjp(_maps_jnp, xyz)
+        (dxyz,) = vjp(dict(g))
+        return (dxyz,)
+    return (_maps_bwd_pallas(xyz, dict(g), min(tile_i, 128),
+                             min(tile_j, 256), interpret),)
 
 
 pairwise_maps.defvjp(_pairwise_maps_fwd, _pairwise_maps_bwd)

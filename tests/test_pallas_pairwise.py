@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from protstruc_tpu import StructureBatch
-from protstruc_tpu.ops.pallas_pairwise import trrosetta_features
+from protstruc_tpu.ops.pallas_pairwise import pairwise_maps, trrosetta_features
 
 from tests.conftest import pdb_path
 
@@ -72,6 +72,86 @@ def test_atan2_planes_normal_range_unchanged():
     np.testing.assert_allclose(
         np.asarray(_atan2_planes(y, x)),
         np.arctan2(np.asarray(y), np.asarray(x)), atol=2e-6)
+
+
+def _grad_pair(xyz, tile=64, seed=0):
+    """(pallas-bwd dxyz, jnp-vjp dxyz) for the same random cotangents."""
+    import jax
+
+    from protstruc_tpu.ops import pallas_pairwise as pp
+
+    xyz = jnp.asarray(xyz)
+    _, pallas_vjp = jax.vjp(
+        lambda x: pairwise_maps(x, tile, tile, True), xyz)
+    _, jnp_vjp = jax.vjp(pp._maps_jnp, xyz)
+    rng = np.random.RandomState(seed)
+    B, L = xyz.shape[:2]
+    g = {k: jnp.asarray(rng.randn(B, L, L).astype(np.float32))
+         for k in pp._MAP_NAMES}
+    return np.asarray(pallas_vjp(g)[0]), np.asarray(jnp_vjp(g)[0])
+
+
+def test_pallas_backward_matches_jnp_vjp_random():
+    """Fused adjoint kernel vs the jnp formulation's VJP (VERDICT r4 #3)."""
+    rng = np.random.RandomState(0)
+    xyz = rng.randn(2, 50, 15, 3).astype(np.float32) * 5
+    got, want = _grad_pair(xyz)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-5 * max(scale, 1.0))
+
+
+def test_pallas_backward_degenerate_zero_grads():
+    """Coincident atoms (CB==CA, duplicated residues) must get exactly the
+    jnp double-where gradients — 0 cotangent flow, never NaN/inf."""
+    rng = np.random.RandomState(1)
+    xyz = rng.randn(1, 24, 15, 3).astype(np.float32) * 5
+    from protstruc_tpu.vocab import ATOM
+
+    xyz[:, ::3, int(ATOM.CB)] = xyz[:, ::3, int(ATOM.CA)]  # glycine-like
+    xyz[:, 7] = xyz[:, 3]  # fully duplicated residue pair
+    got, want = _grad_pair(xyz, tile=32)
+    assert np.isfinite(got).all()
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-5 * max(scale, 1.0))
+
+
+def test_pallas_backward_tile_not_dividing_length():
+    rng = np.random.RandomState(2)
+    xyz = rng.randn(1, 37, 15, 3).astype(np.float32) * 5
+    got, want = _grad_pair(xyz, tile=32)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-5 * max(scale, 1.0))
+
+
+def test_pallas_backward_nan_coords_propagate():
+    """Missing-atom (NaN) coordinates produce NaN gradients for the atoms
+    of the affected residues (same contract as the jnp path: mask the
+    cotangents upstream); finite residues keep finite, matching grads."""
+    rng = np.random.RandomState(3)
+    xyz = rng.randn(1, 16, 15, 3).astype(np.float32) * 5
+    xyz[:, 5, :4] = np.nan  # residue 5 backbone missing
+    got, want = _grad_pair(xyz, tile=32)
+    # NaN rows: every map pairs residue 5 with everything -> its own atom
+    # grads are NaN in both paths
+    assert np.isnan(got[:, 5]).any() and np.isnan(want[:, 5]).any()
+    finite = np.isfinite(want) & np.isfinite(got)
+    assert finite[:, :5].any()
+    scale = np.abs(want[finite]).max()
+    np.testing.assert_allclose(got[finite], want[finite],
+                               atol=1e-5 * max(scale, 1.0))
+
+
+def test_pallas_backward_jnp_fallback_flag():
+    from protstruc_tpu.ops import pallas_pairwise as pp
+
+    rng = np.random.RandomState(4)
+    xyz = rng.randn(1, 20, 15, 3).astype(np.float32) * 5
+    pp.BWD_IMPL = "jnp"
+    try:
+        got, want = _grad_pair(xyz, tile=32)
+    finally:
+        pp.BWD_IMPL = "pallas"
+    np.testing.assert_array_equal(got, want)
 
 
 def test_inter_residue_geometry_use_pallas_flag():
