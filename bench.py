@@ -939,30 +939,48 @@ def run_smoke(rtt):
         from protstruc_tpu.ops.flash_attn import (
             flash_pair_bias_attention, pair_bias_attention_reference)
 
-        ks = jax.random.split(jax.random.PRNGKey(3), 4)
-        q = jax.random.normal(ks[0], (1, 96, 2, 16))
-        k = jax.random.normal(ks[1], (1, 96, 2, 16))
-        v = jax.random.normal(ks[2], (1, 96, 2, 16))
-        bias = jax.random.normal(ks[3], (1, 2, 96, 96))
-        kmask = jnp.ones((1, 96), bool).at[0, -8:].set(False)
-        # compiled Mosaic path (interpret=None -> mosaic on-chip) vs jnp.
+        # compiled Mosaic path (interpret=None -> mosaic on-chip) vs jnp,
+        # across head depths: the models pin dh=32 but wider heads (64/128)
+        # must stay correct on chip too (tests only cover interpret mode).
         # The kernel pins HIGHEST matmul precision internally; the jnp
         # oracle must run at the same precision or the comparison measures
         # the DEFAULT-precision (bf16-mantissa) einsum error (~3e-3), not
         # the kernel (measured: fwd 3.0e-7 / dbias 1.4e-4 on v5e).
-        with jax.default_matmul_precision("highest"):
-            out = flash_pair_bias_attention(q, k, v, bias, kmask)
-            ref = pair_bias_attention_reference(q, k, v, bias, kmask)
-            err = float(jnp.abs(out - ref).max())
-            assert err < 2e-5, f"flash fwd parity {err:.2e}"
+        for dh in (16, 64, 128):
+            ks = jax.random.split(jax.random.PRNGKey(3), 4)
+            q = jax.random.normal(ks[0], (1, 96, 2, dh))
+            k = jax.random.normal(ks[1], (1, 96, 2, dh))
+            v = jax.random.normal(ks[2], (1, 96, 2, dh))
+            bias = jax.random.normal(ks[3], (1, 2, 96, 96))
+            kmask = jnp.ones((1, 96), bool).at[0, -8:].set(False)
+            with jax.default_matmul_precision("highest"):
+                out = flash_pair_bias_attention(q, k, v, bias, kmask)
+                ref = pair_bias_attention_reference(q, k, v, bias, kmask)
+                err = float(jnp.abs(out - ref).max())
+                assert err < 2e-5, f"flash fwd parity dh={dh} {err:.2e}"
 
-            def loss(fn):
-                return lambda b: jnp.sum(jnp.sin(fn(q, k, v, b, kmask)))
+                def loss(fn):
+                    return lambda b: jnp.sum(jnp.sin(fn(q, k, v, b, kmask)))
 
-            gf = jax.grad(loss(flash_pair_bias_attention))(bias)
-            gr = jax.grad(loss(pair_bias_attention_reference))(bias)
-            gerr = float(jnp.abs(gf - gr).max())
-            assert gerr < 5e-4, f"flash bwd parity {gerr:.2e}"
+                gf = jax.grad(loss(flash_pair_bias_attention))(bias)
+                gr = jax.grad(loss(pair_bias_attention_reference))(bias)
+                gerr = float(jnp.abs(gf - gr).max())
+                assert gerr < 5e-4, f"flash bwd parity dh={dh} {gerr:.2e}"
+
+        # VMEM-fit proof for the widest head at the DEFAULT tiles: L=2048
+        # exercises the uncapped 512x2048 fwd block and the dh-aware bwd
+        # cap with dh=128 operand/accumulator buffers (the worst case the
+        # tile table must fit) — compile + one fwd/bwd, finiteness only
+        ksw = jax.random.split(jax.random.PRNGKey(7), 4)
+        qw = jax.random.normal(ksw[0], (1, 2048, 1, 128), jnp.bfloat16)
+        kw = jax.random.normal(ksw[1], (1, 2048, 1, 128), jnp.bfloat16)
+        vw = jax.random.normal(ksw[2], (1, 2048, 1, 128), jnp.bfloat16)
+        bw = jax.random.normal(ksw[3], (1, 1, 2048, 2048), jnp.bfloat16)
+        kmw = jnp.ones((1, 2048), bool)
+        gw = jax.grad(lambda b: jnp.sum(flash_pair_bias_attention(
+            qw, kw, vw, b, kmw).astype(jnp.float32)))(bw)
+        assert bool(jnp.isfinite(gw.astype(jnp.float32)).all()), \
+            "dh=128 default-tile backward produced non-finite grads"
 
         # backward key strips (in-kernel fori_loop, ops/flash_attn.py):
         # at smoke L the default tiles clamp to a single strip, so force

@@ -26,8 +26,11 @@ def _inputs(B=2, L=100, H=4, dh=32, dtype=jnp.float32, seed=0):
     return q, k, v, bias, kmask
 
 
-def test_forward_matches_reference():
-    q, k, v, bias, kmask = _inputs()
+@pytest.mark.parametrize("dh", [16, 32, 64, 128])
+def test_forward_matches_reference(dh):
+    """Parity across head depths, incl. the wide heads (dh=64/128) users
+    will try even though the bundled models pin dh=32 (VERDICT r4 #8)."""
+    q, k, v, bias, kmask = _inputs(dh=dh)
     ref = pair_bias_attention_reference(q, k, v, bias, kmask)
     out = flash_pair_bias_attention(q, k, v, bias, kmask, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -45,8 +48,9 @@ def test_fully_masked_rows_are_exact_zeros():
                                rtol=0, atol=2e-5)
 
 
-def test_gradients_match_reference():
-    q, k, v, bias, kmask = _inputs(L=70)
+@pytest.mark.parametrize("dh", [16, 32, 64, 128])
+def test_gradients_match_reference(dh):
+    q, k, v, bias, kmask = _inputs(L=70, dh=dh)
     kmask = kmask.at[0, :3].set(False)
 
     def loss(fn, q, k, v, bias):
