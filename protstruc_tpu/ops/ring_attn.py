@@ -136,11 +136,26 @@ def ring_pair_bias_attention(q, k, v, bias, kmask, *,
 
     def step(carry, t):
         acc, lse_tot, k_s, v_s, km_s = carry
+        # Issue the rotation BEFORE the attend: the ppermutes and the
+        # attention read the same k/v block but neither depends on the
+        # other's result, so XLA legally splits each collective-permute
+        # into an async start/done pair and the latency-hiding scheduler
+        # overlaps the ICI transfer with the flash kernel on block t —
+        # the standard compute/communication double-buffer, expressed
+        # through the scan carry (next block arrives while the current
+        # one is attended).  Putting the starts first in program order
+        # makes that schedule the natural one instead of asking the
+        # scheduler to hoist them over the kernel call.  The pipeline
+        # depth is inherently one hop: ppermute(t+1) consumes
+        # ppermute(t)'s output, so deeper prefetch would need split
+        # blocks, paying merge complexity for the same ICI bytes.
+        # (Design-correctness structure — single-chip hardware here
+        # cannot measure the overlap; values are order-independent.)
+        k_n = jax.lax.ppermute(k_s, axis_name, perm)
+        v_n = jax.lax.ppermute(v_s, axis_name, perm)
+        km_n = jax.lax.ppermute(km_s, axis_name, perm)
         acc, lse_tot = attend_merge(acc, lse_tot, k_s, v_s, km_s, t)
-        k_s = jax.lax.ppermute(k_s, axis_name, perm)
-        v_s = jax.lax.ppermute(v_s, axis_name, perm)
-        km_s = jax.lax.ppermute(km_s, axis_name, perm)
-        return (acc, lse_tot, k_s, v_s, km_s), None
+        return (acc, lse_tot, k_n, v_n, km_n), None
 
     acc0 = jnp.zeros((B, Lq, H, dh), jnp.float32)
     lse0 = jnp.full((B, H, Lq), -jnp.inf, jnp.float32)

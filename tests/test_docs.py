@@ -16,6 +16,9 @@ import re
 import numpy as np
 import pytest
 
+# quality tier: executes every tutorial block (minutes) — see pytest.ini
+pytestmark = pytest.mark.quality
+
 DOCS = pathlib.Path(__file__).parent.parent / "docs" / "tutorials"
 TUTORIALS = sorted(DOCS.glob("*.md"))
 

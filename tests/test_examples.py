@@ -18,6 +18,9 @@ import sys
 
 import pytest
 
+# quality tier: each example is a multi-minute subprocess — see pytest.ini
+pytestmark = pytest.mark.quality
+
 REPO = pathlib.Path(__file__).parent.parent
 DATA = REPO / "tests" / "data"
 

@@ -146,6 +146,7 @@ def test_full_reconstruction_pipeline(small_structure):
     assert rms < 1.5, rms
 
 
+@pytest.mark.quality
 @pytest.mark.parametrize(
     "pdb,max_rmsd,min_tm",
     [("1REX.pdb", 1.5, 0.93), ("15c8_HL.pdb", 2.5, 0.88)],
