@@ -328,6 +328,18 @@ def run_mfu(rtt):
     """
     _mfu_point("mfu", dict(node_dim=256, pair_dim=128, n_heads=8,
                            n_blocks=4), B=4, L=512, rtt=rtt)
+    # the same width on the PRODUCTION path (triangle pair updates + the
+    # fused Pallas triangle kernels + remat) — ms/step is the number to
+    # watch; its pct-of-peak under-reports because XLA cost analysis
+    # cannot count FLOPs inside Pallas kernels (docs/guides/performance.md
+    # "Fused triangle-multiplication kernels")
+    try:
+        _mfu_point("mfu-fused", dict(node_dim=256, pair_dim=128, n_heads=8,
+                                     n_blocks=4, pair_update="triangle",
+                                     remat=True, fused_tri=True),
+                   B=4, L=512, rtt=rtt)
+    except Exception as e:
+        log(f"[mfu-fused] FAILED: {type(e).__name__}: {e}")
     try:
         _mfu_point("mfu-peak", dict(node_dim=2048, pair_dim=1024, n_heads=8,
                                     n_blocks=3, pair_update="triangle",
