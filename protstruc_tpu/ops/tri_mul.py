@@ -181,10 +181,16 @@ def _pad_rows(arr, npad):
     return arr if n == npad else jnp.pad(arr, ((0, npad - n), (0, 0)))
 
 
-def _tile_rows(C: int) -> int:
+def _tile_rows(C: int, dtype=jnp.bfloat16) -> int:
     # VMEM budget: the backward holds ~12 f32 (TR, C) intermediates plus
-    # weight blocks; 2^17 elements per tile keeps it ~8 MB at any C
-    return max(128, min(2048, (1 << 17) // max(C, 1) // 8 * 8))
+    # the pipelined (TR, C) stream blocks in the INPUT dtype; 2^17 elements
+    # per tile fits Mosaic's 16M scoped limit for 16-bit streams, but f32
+    # streams double the pipelined buffers and must halve the tile
+    # (measured: the epilogue backward at C=64/TR=2048/f32 allocated
+    # 19.96M vs the 16.00M limit inside the remat'd FoldModel train step —
+    # the r5 LOO smoke gate caught it; bf16 at the same element count fits)
+    budget = (1 << 17) if jnp.dtype(dtype).itemsize <= 2 else (1 << 16)
+    return max(128, min(2048, budget // max(C, 1) // 8 * 8))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -396,7 +402,7 @@ def fused_triangle_multiplication(pair, mask, params, outgoing=True,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, L, L2, C = pair.shape
-    tr = tile_rows or _tile_rows(C)
+    tr = tile_rows or _tile_rows(C, pair.dtype)
     N = B * L * L2
 
     def v(w):  # (C,) vectors -> (1, C) blocks
