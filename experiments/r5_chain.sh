@@ -2,9 +2,11 @@
 # Round-5 TPU queue (one chip through the relay — serialize):
 #   1. full bench.py: validates this round's kernel work + the new
 #      dh-parametrized flash smoke stage on the live chip
-#   2. 60-step LOO smoke with the exact r5 flags (recycle=2, EMA, best,
+#   2. fused-triangle FULL-STEP A/B at the VERDICT r4 configs
+#      (D=256/P=128 and D=512/P=256, triangle+remat, fused on/off)
+#   3. 60-step LOO smoke with the exact r5 flags (recycle=2, EMA, best,
 #      fused-tri) — catches config/compile problems before committing hours
-#   3. the r5 LOO sweep: 9000 steps/fold, deadline-guarded so the chip is
+#   4. the r5 LOO sweep: 9000 steps/fold, deadline-guarded so the chip is
 #      free again before the round closes (incremental JSON = valid partial)
 set -u
 cd /root/repo
@@ -19,6 +21,11 @@ for attempt in 1 2; do
   sleep 120
 done
 
+echo "[r5chain] tri-fused step A/B $(date -u +%H:%M:%S)"
+timeout 3600 python experiments/r5_tri_fused_ab.py step \
+  > /tmp/tri_step_ab.json 2>/tmp/tri_step_ab.log \
+  || echo "[r5chain] tri step A/B FAILED (see /tmp/tri_step_ab.log)"
+
 echo "[r5chain] LOO smoke $(date -u +%H:%M:%S)"
 if ! timeout 2400 python experiments/fold_loo.py 60 /tmp/loo_smoke.json \
     --recycle 2 --ema 0.999 --best --fused-tri \
@@ -28,7 +35,7 @@ if ! timeout 2400 python experiments/fold_loo.py 60 /tmp/loo_smoke.json \
 fi
 echo "[r5chain] LOO smoke OK; launching sweep $(date -u +%H:%M:%S)"
 
-timeout 19800 python experiments/fold_loo.py 9000 docs/quality/fold_loo_r5.json \
-  --recycle 2 --ema 0.999 --best --fused-tri --deadline 3.2 \
+timeout 16200 python experiments/fold_loo.py 9000 docs/quality/fold_loo_r5.json \
+  --recycle 2 --ema 0.999 --best --fused-tri --deadline 2.8 \
   --ck-root out/fold_loo_r5 > /tmp/loo_r5.log 2>&1
 echo "[r5chain] LOO sweep done $(date -u +%H:%M:%S)"
