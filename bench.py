@@ -329,15 +329,20 @@ def run_mfu(rtt):
     _mfu_point("mfu", dict(node_dim=256, pair_dim=128, n_heads=8,
                            n_blocks=4), B=4, L=512, rtt=rtt)
     # the same width on the PRODUCTION path (triangle pair updates + the
-    # fused Pallas triangle kernels + remat) — ms/step is the number to
-    # watch; its pct-of-peak under-reports because XLA cost analysis
-    # cannot count FLOPs inside Pallas kernels (docs/guides/performance.md
+    # fused Pallas triangle kernels + remat).  XLA cost analysis cannot
+    # count FLOPs inside Pallas kernels, so the FLOP numerator comes from
+    # compiling (never running) the identical-math unfused variant — the
+    # printed pct-of-peak is true MFU (docs/guides/performance.md
     # "Fused triangle-multiplication kernels")
     try:
         _mfu_point("mfu-fused", dict(node_dim=256, pair_dim=128, n_heads=8,
                                      n_blocks=4, pair_update="triangle",
                                      remat=True, fused_tri=True),
-                   B=4, L=512, rtt=rtt)
+                   B=4, L=512, rtt=rtt,
+                   flops_cfg_kwargs=dict(node_dim=256, pair_dim=128,
+                                         n_heads=8, n_blocks=4,
+                                         pair_update="triangle", remat=True,
+                                         fused_tri=False))
     except Exception as e:
         log(f"[mfu-fused] FAILED: {type(e).__name__}: {e}")
     try:
@@ -349,7 +354,7 @@ def run_mfu(rtt):
         log(f"[mfu-peak] FAILED: {type(e).__name__}: {e}")
 
 
-def _mfu_point(label, cfg_kwargs, B, L, rtt, iters=8):
+def _mfu_point(label, cfg_kwargs, B, L, rtt, iters=8, flops_cfg_kwargs=None):
     import numpy as np
     import optax
 
@@ -369,15 +374,27 @@ def _mfu_point(label, cfg_kwargs, B, L, rtt, iters=8):
     params, opt_state, tx = make_train_state(model, feats,
                                              jax.random.PRNGKey(0))
 
-    def step(params, opt_state, feats):
-        loss, grads = jax.value_and_grad(loss_fn)(params, model, feats)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    def make_step(m):
+        def step(params, opt_state, feats):
+            loss, grads = jax.value_and_grad(loss_fn)(params, m, feats)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+        return step
 
-    jstep = jax.jit(step, donate_argnums=(0, 1))
+    jstep = jax.jit(make_step(model), donate_argnums=(0, 1))
     compiled = jstep.lower(params, opt_state, feats).compile()
     try:
-        flops = float(compiled.cost_analysis()["flops"])
+        if flops_cfg_kwargs is not None:
+            # Pallas kernels are opaque to XLA cost analysis: take the FLOP
+            # numerator from the identical-math variant (same param tree),
+            # compiled but never executed, so pct-of-peak is true MFU.
+            fmodel = TrFold(TrFoldConfig(dtype=jnp.bfloat16,
+                                         **flops_cfg_kwargs))
+            fcompiled = jax.jit(make_step(fmodel)).lower(
+                params, opt_state, feats).compile()
+            flops = float(fcompiled.cost_analysis()["flops"])
+        else:
+            flops = float(compiled.cost_analysis()["flops"])
     except Exception:
         flops = float("nan")
 

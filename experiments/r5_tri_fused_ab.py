@@ -95,17 +95,33 @@ def module_ab(C, L=512, B=4, n1=4, n2=12):
 
 
 def step_ab():
-    """Full train step at the two VERDICT A/B configs, fused on/off."""
+    """Full train step at the two VERDICT A/B configs, fused on/off.
+
+    XLA's cost analysis cannot count FLOPs inside Pallas kernels, so the
+    fused row reports the FLOPs of its paired unfused row (identical math,
+    identical param tree — only the kernel organization differs); its
+    tflops/pct are therefore true MFU, not an under-count.
+    """
     sys.path.insert(0, "experiments")
     from mfu import measure
 
     rows = []
     for D, P, blocks in ((256, 128, 4), (512, 256, 6)):
+        pair = []
         for fused in (False, True):
             r = measure(D, P, blocks, pair_update="triangle", remat=True,
                         fused_tri=fused)
             r["fused_tri"] = fused
-            rows.append(r)
+            pair.append(r)
+        unfused, fused_row = pair
+        fused_row["gflop"] = unfused["gflop"]
+        # GFLOP / ms == TFLOP/s
+        fused_row["tflops"] = round(unfused["gflop"] / fused_row["ms"], 2)
+        fused_row["pct_bf16_peak"] = round(
+            100 * fused_row["tflops"] * 1e12 / 197e12, 2)
+        fused_row["flops_from"] = "paired unfused row (XLA cost analysis "
+        fused_row["flops_from"] += "cannot see inside Pallas kernels)"
+        rows.extend(pair)
     return rows
 
 
